@@ -1,0 +1,149 @@
+"""Partitioned link-graph build (SURVEY.md §7 step 2, north_rule).
+
+Takes a (src, dst) string edge Dataset and materializes the resumable
+on-disk graph layout consumed by the CSR shard actors:
+
+    graph_dir/
+      meta.json                  n, num_parts, num_edges, options
+      nodes.parquet              (node: string, id: int64), sorted by node
+      edges/part=<j>/*.parquet   (src_id, dst_id) where src_id % P == j
+
+Partitioning key: ``src_id % num_parts``. ALL out-edges of a node land
+in its own shard, so out-degree / edge weights and the dangling
+indicator are shard-LOCAL (no global shuffle needed for A2/A3); node
+ids and rank-vector slices use the same key (part(id) = id % P,
+local(id) = id // P), so rank blocks stay aligned with CSR shards
+across iterations — the alignment SURVEY.md §4.2(1) calls for.
+
+``num_parts`` is a property of the GRAPH, not the cluster: it is fixed
+at build time so float reduction order — and therefore every rank
+value — is bit-identical across cluster sizes.
+
+Pipeline (streaming; the only materialized artifacts are the node
+dictionary — small — and the partitioned parquet):
+  M1 url filter (opt) -> distinct+sort node dict [shuffle #1]
+  -> J2 in-link-ratio filter (opt; broadcast heavy list, A1 groupby)
+  -> broadcast-encode to ids -> write partitioned parquet [shuffle #2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages import encode as enc
+from ..stages import filters as flt
+
+
+def build_graph(
+    edges_ds,
+    graph_dir: str,
+    num_parts: int = 8,
+    apply_url_filter: bool = False,
+    filter_ratio: float | None = None,
+    undirected: bool = False,
+) -> dict:
+    """Build the partitioned graph; returns the meta dict.
+
+    ``undirected=True`` symmetrizes edges (each (s,d) also contributes
+    (d,s)) — used by connected components / LPA / triangles which are
+    defined on the undirected graph.
+    """
+    if apply_url_filter:
+        edges_ds = flt.url_filter(edges_ds)
+
+    names = enc.distinct_nodes(edges_ds)
+    n = len(names)
+
+    if filter_ratio is not None:
+        edges_ds = flt.inlink_ratio_filter(edges_ds, filter_ratio, n)
+
+    encoded = enc.encode_edges(edges_ds, names)
+
+    if undirected:
+        def symmetrize(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "src_id": pa.concat_arrays(
+                    [t.column("src_id").combine_chunks(),
+                     t.column("dst_id").combine_chunks()]),
+                "dst_id": pa.concat_arrays(
+                    [t.column("dst_id").combine_chunks(),
+                     t.column("src_id").combine_chunks()]),
+            })
+        encoded = encoded.map_batches(symmetrize, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t.column("src_id").to_numpy() % num_parts).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    partitioned = encoded.map_batches(add_part, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    os.makedirs(graph_dir, exist_ok=True)
+    edges_dir = os.path.join(graph_dir, "edges")
+    partitioned.write_parquet(edges_dir, partition_cols=["part"])
+
+    pq.write_table(enc.nodes_table(names),
+                   os.path.join(graph_dir, "nodes.parquet"))
+
+    num_edges = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _, fs in os.walk(edges_dir)
+        for f in fs if f.endswith(".parquet"))
+    meta = {
+        "n": n,
+        "num_parts": num_parts,
+        "num_edges": num_edges,
+        "undirected": undirected,
+        "apply_url_filter": apply_url_filter,
+        "filter_ratio": filter_ratio,
+    }
+    _atomic_write_json(os.path.join(graph_dir, "meta.json"), meta)
+    return meta
+
+
+def read_meta(graph_dir: str) -> dict:
+    with open(os.path.join(graph_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def load_part_edges(graph_dir: str, part: int) -> tuple[np.ndarray, np.ndarray]:
+    """Load one shard's (src_id, dst_id) arrays (missing dir = no edges)."""
+    d = os.path.join(graph_dir, "edges", f"part={part}")
+    if not os.path.isdir(d):
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    tables = [pq.read_table(os.path.join(d, f),
+                            columns=["src_id", "dst_id"])
+              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not tables:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    t = pa.concat_tables(tables)
+    return (t.column("src_id").to_numpy().astype(np.int64),
+            t.column("dst_id").to_numpy().astype(np.int64))
+
+
+def load_part_names(graph_dir: str, part: int, num_parts: int) -> np.ndarray:
+    """Node names for ids with id % P == part, ordered by local index."""
+    t = pq.read_table(os.path.join(graph_dir, "nodes.parquet"))
+    ids = t.column("id").to_numpy()
+    mask = (ids % num_parts) == part
+    # nodes.parquet is sorted by node == sorted by id, so masked order
+    # is already local-index order (local = id // P is increasing).
+    return np.asarray(t.column("node").to_numpy(zero_copy_only=False)[mask])
+
+
+def load_nodes(graph_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(graph_dir, "nodes.parquet"))
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)

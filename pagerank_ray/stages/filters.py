@@ -1,0 +1,104 @@
+"""Edge-level filters (SURVEY.md M1, J2).
+
+M1 — URL shape filter: drop any edge where source OR target matches
+``.*((/$)|(/.*/)).*`` (node name ends in "/" or contains >= 2 path
+segments), reproducing /root/reference/pagerank.py:42-45 exactly.
+Implemented as a vectorized pyarrow regex kernel inside map_batches
+(stateless tasks, zero-copy Arrow).
+
+J2 — in-link-ratio filter: drop edges whose target's in-degree
+(counted over ALL post-M1 edges, BEFORE any J2 dropping) is
+>= ratio * n where n = total node count including filtered targets.
+Edges are removed, nodes stay (heavy targets usually become dangling)
+— /root/reference/pagerank.py:51-57 semantics. The heavy-target list
+is short by construction, so it is computed with one groupby and
+broadcast via ray.put instead of a shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+# Arrow's regex engine (RE2) anchors match_substring_regex nowhere, so
+# the reference's `.match(...)` (anchored at start, unanchored at end)
+# is equivalent to finding the group anywhere: name ends in '/' OR has
+# a '/<something>/' segment.
+URL_DROP_PATTERN = r"(/$)|(/.*/)"
+
+
+def url_filter_batch(batch: pa.Table) -> pa.Table:
+    bad_src = pc.match_substring_regex(batch.column("src"), URL_DROP_PATTERN)
+    bad_dst = pc.match_substring_regex(batch.column("dst"), URL_DROP_PATTERN)
+    keep = pc.invert(pc.or_(bad_src, bad_dst))
+    return batch.filter(keep)
+
+
+def url_filter(edges_ds):
+    """M1 as a stateless vectorized map_batches filter."""
+    return edges_ds.map_batches(
+        url_filter_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def heavy_targets(edges_ds, filter_ratio: float, num_nodes: int) -> set:
+    """Targets whose in-degree >= filter_ratio * num_nodes (a SHORT list).
+
+    In-degrees are counted over the full post-M1 edge stream (A1):
+    partial counts inside map_batches, then a small groupby — the heavy
+    list itself is tiny and is collected to the driver for broadcast.
+    """
+    threshold = filter_ratio * num_nodes
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column("dst").value_counts()
+        return pa.table({
+            "dst": vc.field("values"),
+            "cnt": vc.field("counts"),
+        })
+
+    counts = (
+        edges_ds.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("dst")
+        .sum("cnt")
+    )
+    heavy = counts.filter(
+        lambda row: row["sum(cnt)"] >= threshold
+    ).take_all()
+    return {r["dst"] for r in heavy}
+
+
+class InLinkFilter:
+    """J2 edge filter against a broadcast heavy-target set.
+
+    The set travels once via ray.put; each task resolves the ref once
+    (Ray caches the object locally), then filters vectorized.
+    """
+
+    def __init__(self, heavy_ref):
+        self._heavy = ray.get(heavy_ref) if isinstance(
+            heavy_ref, ray.ObjectRef) else heavy_ref
+        self._heavy_arr = pa.array(sorted(self._heavy), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self._heavy) == 0:
+            return batch
+        is_heavy = pc.is_in(batch.column("dst"), value_set=self._heavy_arr)
+        return batch.filter(pc.invert(is_heavy))
+
+
+def inlink_ratio_filter(edges_ds, filter_ratio: float | None,
+                        num_nodes: int):
+    """Apply J2; ``filter_ratio=None`` is a no-op (reference default)."""
+    if filter_ratio is None:
+        return edges_ds
+    heavy = heavy_targets(edges_ds, filter_ratio, num_nodes)
+    heavy_ref = ray.put(heavy)
+    return edges_ds.map_batches(
+        InLinkFilter, fn_constructor_args=(heavy_ref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )

@@ -1,0 +1,12 @@
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from pagerank_ray.context import configure_data_context
+    configure_data_context()
+    yield
+    ray.shutdown()
