@@ -161,7 +161,7 @@ class GraphShard:
     def pr_save(self, ckpt_dir: str, iteration: int) -> int:
         d = os.path.join(ckpt_dir, f"iter={iteration}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"part-{self.part}.npy.tmp")
+        tmp = os.path.join(d, f"part-{self.part}.tmp.npy")
         np.save(tmp, self.x)
         os.replace(tmp, os.path.join(d, f"part-{self.part}.npy"))
         return self.n_local

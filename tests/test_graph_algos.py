@@ -1,0 +1,115 @@
+"""CC / LPA / triangles vs exact oracles (FIXTURES.md F5) + resume (F7)."""
+
+import numpy as np
+import pytest
+
+from pagerank_ray.graph.build import build_graph
+from pagerank_ray.graph.components import connected_components
+from pagerank_ray.graph.labelprop import label_propagation
+from pagerank_ray.graph.pagerank import PageRankRunner
+from pagerank_ray.graph.triangles import triangle_counts
+from pagerank_ray.sources.edge_csv import from_arrow_edges
+from pagerank_ray.sources.synth import (component_fixture_edges,
+                                        generate_corpus, small_graph_edges)
+from pagerank_ray.stages.extract import extract_edges_batch
+
+from .oracle import (connected_components_oracle, lpa_oracle,
+                     pagerank_oracle, triangles_oracle)
+
+
+def _pairs(table):
+    return list(zip(table.column("src").to_pylist(),
+                    table.column("dst").to_pylist()))
+
+
+def test_connected_components_exact(tmp_path):
+    edges, n_comp = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4, undirected=True)
+    res = connected_components(gdir)
+    got = {r["node"]: r["label"] for r in res.to_pylist()}
+    want = connected_components_oracle(_pairs(edges))
+    assert got == want
+    assert len(set(got.values())) == n_comp
+
+
+def test_connected_components_small_graph(tmp_path):
+    edges = small_graph_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=2, undirected=True)
+    res = connected_components(gdir)
+    got = {r["node"]: r["label"] for r in res.to_pylist()}
+    want = connected_components_oracle(_pairs(edges))
+    assert got == want
+    assert len(set(got.values())) == 1  # small graph is one component
+
+
+def test_label_propagation_exact(tmp_path):
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=3, undirected=True)
+    res = label_propagation(gdir, rounds=10)
+    got = {r["node"]: r["label"] for r in res.to_pylist()}
+    want = lpa_oracle(_pairs(edges), rounds=10)
+    assert got == want
+    # cliques collapse to a single community each
+    k4 = {got[str(i)] for i in range(4)}
+    k5 = {got[str(i)] for i in range(10, 15)}
+    assert len(k4) == 1 and len(k5) == 1
+
+
+def test_triangles_exact():
+    edges, _ = component_fixture_edges()
+    res = triangle_counts(from_arrow_edges(edges))
+    got = {r["node"]: r["tri_count"] for r in res.to_pylist()}
+    want = triangles_oracle(_pairs(edges))
+    assert got == want
+    # K4 -> 3 per vertex, K5 -> 6 per vertex, chain -> 0
+    assert got["0"] == 3 and got["10"] == 6 and got["20"] == 0
+
+
+def test_triangles_duplicate_edges_deduped():
+    import pyarrow as pa
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
+    t = pa.table({"src": [r[0] for r in rows], "dst": [r[1] for r in rows]})
+    res = triangle_counts(from_arrow_edges(t))
+    got = {r["node"]: r["tri_count"] for r in res.to_pylist()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_pagerank_checkpoint_resume_bit_identical(tmp_path):
+    """F7: kill after k iterations, resume, bit-identical final ranks."""
+    table, _ = generate_corpus(num_repos=2, files_per_repo=15)
+    edge_tbl = extract_edges_batch(table)
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edge_tbl), gdir, num_parts=3)
+
+    r1 = PageRankRunner(gdir)
+    try:
+        full = r1.run(alpha=0.85, epsilon=1e-6)
+        full_iters = r1.iterations_run
+    finally:
+        r1.close()
+
+    ck = str(tmp_path / "ck")
+    r2 = PageRankRunner(gdir)
+    try:
+        r2.run(alpha=0.85, epsilon=1e-6, checkpoint_dir=ck,
+               checkpoint_every=2, stop_after=5)
+        assert r2.iterations_run == 5
+    finally:
+        r2.close()
+
+    r3 = PageRankRunner(gdir)
+    try:
+        resumed = r3.run(alpha=0.85, epsilon=1e-6, checkpoint_dir=ck,
+                         resume=True)
+        assert r3.iterations_run == full_iters
+    finally:
+        r3.close()
+
+    a = {r["node"]: r["rank"] for r in full.to_pylist()}
+    b = {r["node"]: r["rank"] for r in resumed.to_pylist()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]  # BIT-identical, not just close
