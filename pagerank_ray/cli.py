@@ -1,0 +1,77 @@
+"""CLI shim mirroring the reference's flags (conformance diffing).
+
+``python -m pagerank_ray.cli --data=path/to/edges.csv.gz [flags]``
+reproduces /root/reference/pagerank.py:245-267's end-to-end flow on
+the Ray engine and prints the reference's golden log-line format
+(``rank=i pagerank=… url=…``). The engine itself is a library; this
+shim is the only module that owns a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import tempfile
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--personalization_vector_query", default=None)
+    parser.add_argument("--search_query", default="")
+    parser.add_argument("--filter_ratio", type=float, default=None)
+    parser.add_argument("--alpha", type=float, default=0.85)
+    parser.add_argument("--max_iterations", type=int, default=1000)
+    parser.add_argument("--epsilon", type=float, default=1e-6)
+    parser.add_argument("--max_results", type=int, default=10)
+    parser.add_argument("--num_parts", type=int, default=8)
+    parser.add_argument("--url_filter", action="store_true", default=True)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from .context import configure_data_context
+    configure_data_context()
+
+    from .functions.query import SynonymExpander, url_satisfies_query
+    from .graph.build import build_graph
+    from .graph.pagerank import PageRankRunner
+    from .pipelines.search import format_results, search
+    from .sources.edge_csv import read_edge_csv
+
+    expander = SynonymExpander()
+    v_ind = None
+    if args.personalization_vector_query:
+        q = args.personalization_vector_query
+        extra = expander.expand_terms(q)
+        v_ind = lambda nm: url_satisfies_query(nm, q, extra)  # noqa: E731
+
+    with tempfile.TemporaryDirectory() as tmp:
+        gdir = f"{tmp}/graph"
+        edges = read_edge_csv(args.data)
+        build_graph(edges, gdir, num_parts=args.num_parts,
+                    apply_url_filter=args.url_filter,
+                    filter_ratio=args.filter_ratio)
+        runner = PageRankRunner(gdir)
+        try:
+            ranks = runner.run(alpha=args.alpha,
+                               max_iterations=args.max_iterations,
+                               epsilon=args.epsilon, v_indicator=v_ind)
+            if args.verbose:
+                print(f"iterations={runner.iterations_run} "
+                      f"residual={runner.final_residual:.4e}")
+        finally:
+            runner.close()
+        top = search(ranks, args.search_query, args.max_results,
+                     expander=expander)
+        for line in format_results(top):
+            print(line)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

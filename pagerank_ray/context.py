@@ -25,8 +25,11 @@ def configure_data_context(
         ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
     if quiet:
+        import logging
+
         ctx.enable_progress_bars = False
         try:
             ctx.execution_options.verbose_progress = False
         except AttributeError:
             pass
+        logging.getLogger("ray.data").setLevel(logging.WARNING)

@@ -22,11 +22,20 @@ def read_edge_csv(path: str, max_edges: int | None = None):
     Arrow's CSV reader decompresses ``.gz`` transparently based on the
     file extension; blocks stream through the object store.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def normalize(t):
+        t = t.rename_columns(["src", "dst"])
+        # node names are strings; Arrow CSV may infer ints (small.csv)
+        return pa.table({
+            "src": pc.cast(t.column("src"), pa.string()),
+            "dst": pc.cast(t.column("dst"), pa.string()),
+        })
+
     ds = rd.read_csv(path)
-    ds = ds.map_batches(
-        lambda t: t.rename_columns(["src", "dst"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ds = ds.map_batches(normalize, batch_format="pyarrow",
+                        zero_copy_batch=True)
     if max_edges is not None:
         ds = ds.limit(max_edges)
     return ds
