@@ -1,44 +1,547 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline at sf0.001 (events-derived link graph
+-> partitioned graph build -> actor-pool PageRank -> ranks table).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+plus the training-data-pipeline extensions (dedup, similarity, text
+analysis, multimodal). Each callable takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table.
+
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query (same column names; iterative graph ops and hash-based sketches
+are rows-only and get their exactness gates from the pytest oracles
+in tests/oracle.py instead).
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the library or these callables.
 """
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------- util
+
+_GRAPH_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _quiet():
+    from pagerank_ray.context import configure_data_context
+    configure_data_context()
+
+
+def _events_graph(sf_dir: str, undirected: bool = False) -> str:
+    """Build (once per process) the events-derived graph; returns dir."""
+    key = (sf_dir, undirected)
+    if key not in _GRAPH_CACHE:
+        from pagerank_ray.graph.build import build_graph
+        from pagerank_ray.pipelines.events_graph import edges_from_events
+        gdir = tempfile.mkdtemp(prefix="pr_entry_graph_")
+        build_graph(edges_from_events(sf_dir), gdir, num_parts=4,
+                    undirected=undirected)
+        _GRAPH_CACHE[key] = gdir
+    return _GRAPH_CACHE[key]
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _node_names(gdir: str) -> np.ndarray:
+    from pagerank_ray.graph.build import load_nodes
+    return np.asarray(load_nodes(gdir).column("node").to_numpy(
+        zero_copy_only=False))
+
+
+# --------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: events graph at sf0.001 -> PageRank ranks (id, node, rank)."""
+    _quiet()
+    from pagerank_ray.graph.pagerank import pagerank
+    gdir = _events_graph("/root/testdata/sf0.001")
+    return pagerank(gdir, alpha=0.85, epsilon=1e-6)
 
+
+# ------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pagerank_ray.functions.query import satisfies_query_batch
+    from pagerank_ray.functions.text import (LangId, fingerprint_batch,
+                                             quality_counts_batch,
+                                             token_count)
+    from pagerank_ray.pipelines.dedup import (embedding_cosine_pairs,
+                                              exact_dedup,
+                                              minhash_lsh_pairs,
+                                              ngram_jaccard_pairs,
+                                              simhash_pairs)
+    from pagerank_ray.pipelines.events_graph import edges_from_events
+    from pagerank_ray.pipelines.multimodal import (featurize_media,
+                                                   synth_media_table)
+    from pagerank_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+    from pagerank_ray.stages.encode import distinct_nodes
+    from pagerank_ray.stages.filters import (URL_DROP_PATTERN,
+                                             inlink_ratio_filter)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import ray.data as rd
+
+    # ---- graph / ingest operators (SURVEY §2) ----
+
+    def q_edges_from_events(sf_dir):
+        _quiet()
+        return edges_from_events(sf_dir)
+
+    def q_node_outdegree(sf_dir):
+        _quiet()
+        ds = edges_from_events(sf_dir).groupby("src").count()
+        return ds.map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "outdeg": t.column("count()")}),
+            batch_format="pyarrow")
+
+    def q_node_indegree(sf_dir):
+        _quiet()
+        ds = edges_from_events(sf_dir).groupby("dst").count()
+        return ds.map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "indeg": t.column("count()")}),
+            batch_format="pyarrow")
+
+    def q_distinct_nodes(sf_dir):
+        _quiet()
+        names = distinct_nodes(edges_from_events(sf_dir))
+        return pa.table({"node": names})
+
+    def q_edge_weights(sf_dir):
+        """Per-(src,dst) weight = cnt / outdeg(src) — A2 semantics with
+        duplicate summing (count(s,t)/outdeg as the coalesced weight)."""
+        _quiet()
+        edges = edges_from_events(sf_dir)
+        cnt = edges.groupby(["src", "dst"]).count().to_pandas()
+        outdeg = cnt.groupby("src", sort=False)["count()"].transform("sum")
+        cnt = cnt.rename(columns={"count()": "cnt"})
+        cnt["weight"] = cnt["cnt"].astype(np.float64) / \
+            outdeg.to_numpy().astype(np.float64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    def q_dangling_nodes(sf_dir):
+        _quiet()
+        edges = edges_from_events(sf_dir).materialize()
+        names = distinct_nodes(edges)
+        srcs = set(
+            r["src"] for r in edges.groupby("src").count().take_all())
+        dangling = [nm for nm in names.to_pylist() if nm not in srcs]
+        return pa.table({"node": pa.array(dangling, pa.string())})
+
+    def q_inlink_filter(sf_dir):
+        """J2: drop edges whose target in-degree >= 0.5 * n."""
+        _quiet()
+        edges = edges_from_events(sf_dir).materialize()
+        n = len(distinct_nodes(edges))
+        return inlink_ratio_filter(edges, 0.5, n)
+
+    def q_url_shape_filter(sf_dir):
+        """M1 regex on synthesized url-ish names over documents."""
+        _quiet()
+
+        def mk(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            src = t.column("source").to_pylist()
+            lang = t.column("lang").to_pylist()
+            names = [
+                s + "/" + lg + ("/" if i % 5 == 0 else "") +
+                (("x/" + str(i)) if i % 7 == 0 else "")
+                for i, s, lg in zip(ids, src, lang)]
+            tt = pa.table({"doc_id": pa.array(ids),
+                           "name": pa.array(names, pa.string())})
+            keep = pc.invert(pc.match_substring_regex(
+                tt.column("name"), URL_DROP_PATTERN))
+            return tt.filter(keep)
+
+        return _docs(sf_dir).map_batches(mk, batch_format="pyarrow")
+
+    def q_query_filter_docs(sf_dir):
+        """M4 predicate 'hash merge -stream' over documents.text."""
+        _quiet()
+
+        def flt(t: pa.Table) -> pa.Table:
+            keep = satisfies_query_batch(t.column("text"),
+                                         "hash merge -stream")
+            return pa.table({"doc_id": t.column("doc_id")}).filter(keep)
+
+        return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+    def q_filtered_topk_events(sf_dir):
+        """T2: non-error events, top-10 by (value desc, event_id asc)."""
+        _quiet()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+        out = (ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("event_type"),
+                                            pa.scalar("error"))),
+            batch_format="pyarrow")
+            .sort(["value", "event_id"], descending=[True, False])
+            .limit(10))
+        return out.select_columns(["event_id", "event_type", "value"])
+
+    def q_sha256_documents(sf_dir):
+        _quiet()
+
+        def h(t: pa.Table) -> pa.Table:
+            hs = [hashlib.sha256(x.encode("utf-8")).hexdigest()
+                  for x in t.column("text").to_pylist()]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "sha256": pa.array(hs, pa.string())})
+
+        return _docs(sf_dir).map_batches(h, batch_format="pyarrow")
+
+    # ---- iterative graph algorithms ----
+
+    def q_pagerank_events(sf_dir):
+        _quiet()
+        from pagerank_ray.graph.pagerank import pagerank
+        gdir = _events_graph(sf_dir)
+        t = pagerank(gdir, alpha=0.85, epsilon=1e-6)
+        return t.select(["node", "rank"])
+
+    def q_connected_components_events(sf_dir):
+        _quiet()
+        from pagerank_ray.graph.components import connected_components
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = connected_components(gdir)
+        names = _node_names(gdir)
+        roots = names[t.column("label").to_numpy()]
+        return pa.table({
+            "node": t.column("node"),
+            "root": pa.array(roots.astype(object), pa.string()),
+        })
+
+    def q_label_propagation_events(sf_dir):
+        _quiet()
+        from pagerank_ray.graph.labelprop import label_propagation
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = label_propagation(gdir, rounds=10)
+        names = _node_names(gdir)
+        labs = names[t.column("label").to_numpy()]
+        return pa.table({
+            "node": t.column("node"),
+            "community": pa.array(labs.astype(object), pa.string()),
+        })
+
+    def q_triangles_events(sf_dir):
+        _quiet()
+        from pagerank_ray.graph.triangles import triangle_counts
+        return triangle_counts(edges_from_events(sf_dir))
+
+    # ---- text analysis ----
+
+    def q_token_counts(sf_dir):
+        _quiet()
+        return _docs(sf_dir).map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "n_tokens": token_count(t.column("text"))}),
+            batch_format="pyarrow")
+
+    def q_quality_counts(sf_dir):
+        _quiet()
+        return _docs(sf_dir).map_batches(
+            quality_counts_batch, batch_format="pyarrow")
+
+    def q_langid(sf_dir):
+        _quiet()
+        return _docs(sf_dir).map_batches(
+            LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def q_fingerprint(sf_dir):
+        _quiet()
+        return _docs(sf_dir).map_batches(
+            fingerprint_batch, batch_format="pyarrow")
+
+    # ---- dedup ----
+
+    def q_exact_dedup(sf_dir):
+        _quiet()
+        return exact_dedup(_docs(sf_dir))
+
+    def q_ngram_jaccard(sf_dir):
+        _quiet()
+        return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+    def q_minhash_lsh(sf_dir):
+        _quiet()
+        return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+    def q_simhash(sf_dir):
+        _quiet()
+        return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+    # ---- similarity / embeddings ----
+
+    def q_embedding_near_dup(sf_dir):
+        _quiet()
+        import ray.data as rd
+        return embedding_cosine_pairs(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.45)
+
+    def q_knn_bruteforce(sf_dir):
+        _quiet()
+        import ray.data as rd
+        t = knn_bruteforce(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2, 3, 4], k=10)
+        return t.select(["query_id", "neighbor_id", "rnk"])
+
+    def q_knn_lsh(sf_dir):
+        _quiet()
+        import ray.data as rd
+        return knn_lsh(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2, 3, 4], k=10, nbits=8)
+
+    # ---- multimodal (synthetic media; deterministic) ----
+
+    def q_media_features(sf_dir):
+        _quiet()
+        out = featurize_media(synth_media_table(n=32), concurrency=2,
+                              batch_size=8)
+        return out.select_columns(["media_id", "kind", "payload_bytes"])
+
+    return {
+        "edges_from_events": q_edges_from_events,
+        "node_outdegree": q_node_outdegree,
+        "node_indegree": q_node_indegree,
+        "distinct_nodes": q_distinct_nodes,
+        "edge_weights": q_edge_weights,
+        "dangling_nodes": q_dangling_nodes,
+        "inlink_filter": q_inlink_filter,
+        "url_shape_filter": q_url_shape_filter,
+        "query_filter_docs": q_query_filter_docs,
+        "filtered_topk_events": q_filtered_topk_events,
+        "sha256_documents": q_sha256_documents,
+        "pagerank_events": q_pagerank_events,
+        "connected_components_events": q_connected_components_events,
+        "label_propagation_events": q_label_propagation_events,
+        "triangles_events": q_triangles_events,
+        "token_counts": q_token_counts,
+        "quality_counts": q_quality_counts,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "media_features": q_media_features,
+    }
+
+
+# ---------------------------------------------------------- oracle SQL
+
+_EDGES = """
+    SELECT CAST(user_id AS VARCHAR) AS src,
+           CAST(next_user AS VARCHAR) AS dst
+    FROM (
+        SELECT user_id,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS next_user
+        FROM events
+    )
+    WHERE next_user IS NOT NULL
+"""
+
+_NODES = f"""
+    SELECT src AS node FROM ({_EDGES})
+    UNION
+    SELECT dst AS node FROM ({_EDGES})
+"""
+
+_GRAMS = r"""
+    SELECT DISTINCT doc_id,
+           w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS g
+    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+          FROM documents),
+         (SELECT unnest(range(1, 100000)) AS i) i
+    WHERE i.i + 2 <= len(w)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_from_events": _EDGES,
+
+        "node_outdegree": f"""
+            SELECT src AS node, COUNT(*) AS outdeg
+            FROM ({_EDGES}) GROUP BY src
+        """,
+
+        "node_indegree": f"""
+            SELECT dst AS node, COUNT(*) AS indeg
+            FROM ({_EDGES}) GROUP BY dst
+        """,
+
+        "distinct_nodes": _NODES,
+
+        "edge_weights": f"""
+            SELECT src, dst, COUNT(*) AS cnt,
+                   CAST(COUNT(*) AS DOUBLE) /
+                   SUM(COUNT(*)) OVER (PARTITION BY src) AS weight
+            FROM ({_EDGES}) GROUP BY src, dst
+        """,
+
+        "dangling_nodes": f"""
+            SELECT node FROM ({_NODES})
+            EXCEPT SELECT DISTINCT src AS node FROM ({_EDGES})
+        """,
+
+        "inlink_filter": f"""
+            WITH e AS ({_EDGES}),
+                 n AS (SELECT COUNT(*) AS n FROM ({_NODES})),
+                 indeg AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst)
+            SELECT e.src, e.dst
+            FROM e JOIN indeg ON indeg.dst = e.dst, n
+            WHERE indeg.c < 0.5 * n.n
+        """,
+
+        "url_shape_filter": """
+            WITH named AS (
+                SELECT doc_id,
+                       source || '/' || lang ||
+                       (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+                       (CASE WHEN doc_id % 7 = 0
+                             THEN 'x/' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END) AS name
+                FROM documents)
+            SELECT doc_id, name FROM named
+            WHERE NOT regexp_matches(name, '((/$)|(/.*/))')
+        """,
+
+        "query_filter_docs": """
+            SELECT doc_id FROM documents
+            WHERE (contains(text, 'hash') OR contains(text, 'merge'))
+              AND NOT contains(text, 'stream')
+        """,
+
+        "filtered_topk_events": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type <> 'error'
+            ORDER BY value DESC, event_id ASC LIMIT 10
+        """,
+
+        "sha256_documents": """
+            SELECT doc_id, sha256(text) AS sha256 FROM documents
+        """,
+
+        "connected_components_events": f"""
+            WITH RECURSIVE
+                 und AS (SELECT src AS u, dst AS v FROM ({_EDGES})
+                         UNION
+                         SELECT dst AS u, src AS v FROM ({_EDGES})),
+                 nodes AS (SELECT DISTINCT u AS node FROM und),
+                 r AS (
+                     SELECT node, node AS lab FROM nodes
+                     UNION
+                     SELECT und.v AS node, r.lab
+                     FROM r JOIN und ON und.u = r.node
+                 )
+            SELECT node, min(lab) AS root FROM r GROUP BY node
+        """,
+
+        "triangles_events": f"""
+            WITH e0 AS ({_EDGES}),
+                 nodes AS (SELECT src AS node FROM e0
+                           UNION SELECT dst FROM e0),
+                 e AS (SELECT DISTINCT least(src, dst) AS u,
+                              greatest(src, dst) AS v
+                       FROM e0 WHERE src <> dst),
+                 tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                         FROM e a
+                         JOIN e b ON b.u = a.v
+                         JOIN e c ON c.u = a.u AND c.v = b.v),
+                 verts AS (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri),
+                 cnt AS (SELECT node, COUNT(*) AS c FROM verts
+                         GROUP BY node)
+            SELECT nodes.node, COALESCE(cnt.c, 0) AS tri_count
+            FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+        """,
+
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        """,
+
+        "quality_counts": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                   len(regexp_extract_all(text,
+                       '\b(the|and|of|to|is|in|that|it|was)\b'))
+                       AS n_stopwords
+            FROM documents
+        """,
+
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+
+        "ngram_jaccard": f"""
+            WITH grams AS ({_GRAMS}),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+                           GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                                  COUNT(*) AS i
+                           FROM grams a JOIN grams b
+                             ON a.g = b.g AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT inter.a, inter.b,
+                   inter.i AS inter_size,
+                   (sa.sz + sb.sz - inter.i) AS union_size
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.a
+            JOIN sizes sb ON sb.doc_id = inter.b
+            WHERE inter.i >= 0.5 * (sa.sz + sb.sz - inter.i)
+        """,
+
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2, 3, 4)),
+                 sims AS (SELECT q.vec_id AS query_id,
+                                 e.vec_id AS neighbor_id,
+                                 list_cosine_similarity(
+                                     CAST(q.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])) AS c
+                          FROM q JOIN embeddings e
+                            ON e.vec_id <> q.vec_id),
+                 ranked AS (SELECT query_id, neighbor_id,
+                                   row_number() OVER (
+                                       PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id ASC)
+                                       AS rnk
+                            FROM sims)
+            SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10
+        """,
+    }

@@ -1,0 +1,123 @@
+"""Deterministic hashing primitives for dedup (MinHash, SimHash).
+
+Everything here must be reproducible across processes and machines:
+shingle hashing uses crc32 (zlib, C-speed) and token hashing blake2b —
+never Python's salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    """Whitespace word n-grams joined by single spaces (DuckDB-parity:
+    string_split_regex(text,'\\s+') n-grams)."""
+    words = text.split()
+    if len(words) < n:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct crc32 hashes of the document's word n-grams (uint64)."""
+    sh = {zlib.crc32(s.encode("utf-8")) for s in word_shingles(text, n)}
+    return np.fromiter(sh, dtype=np.uint64, count=len(sh))
+
+
+class MinHasher:
+    """128-permutation MinHash over crc32 shingle hashes.
+
+    Universal hashing sig_p = min((a_p·h + b_p) mod M61) — a_p/b_p
+    drawn from a fixed seed so signatures merge across batches/nodes.
+    Stateful map_batches class: permutation tables built once per actor.
+    """
+
+    def __init__(self, num_perm: int = 128, n: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1,
+                             size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1,
+                             size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.n = n
+
+    def signature(self, text: str) -> np.ndarray:
+        h = shingle_hashes(text, self.n)
+        if len(h) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) — fine for documents; chunk if huge
+            m = (self.a[:, None] * h[None, :] + self.b[:, None]) % MERSENNE61
+        return m.min(axis=1)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) \
+            if texts else np.zeros((0, self.num_perm), dtype=np.uint64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "minhash": pa.array(list(sigs.astype(np.int64))),
+        })
+
+
+def band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH banding: one stable uint64 key per band (blake2b of the
+    band's rows)."""
+    rows = len(sig) // num_bands
+    keys = np.empty(num_bands, dtype=np.uint64)
+    for b in range(num_bands):
+        chunk = sig[b * rows:(b + 1) * rows].tobytes()
+        keys[b] = np.frombuffer(
+            hashlib.blake2b(chunk, digest_size=8).digest(),
+            dtype=np.uint64)[0]
+    return keys
+
+
+def token_hashes64(text: str) -> np.ndarray:
+    """Stable 64-bit hash per whitespace token (blake2b-8)."""
+    toks = text.split()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+            dtype=np.uint64)[0]
+    return out
+
+
+def simhash64(text: str) -> np.uint64:
+    """Classic 64-bit SimHash over token hashes (unit weights)."""
+    h = token_hashes64(text)
+    if len(h) == 0:
+        return np.uint64(0)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over two distinct-hash sets."""
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0

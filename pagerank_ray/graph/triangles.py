@@ -82,18 +82,30 @@ def triangle_counts(edges_ds) -> pa.Table:
             u_first = (du < dv) | ((du == dv) & (u < v))
             a = np.where(u_first, u, v)
             b = np.where(u_first, v, u)
-            return pa.table({"a": pa.array(a), "b": pa.array(b)})
+            n = len(self.deg)
+            # total-order key of the head endpoint: wedge pairs must be
+            # ordered by the SAME (deg, id) order the orientation uses,
+            # or closing edges are looked up in the wrong direction.
+            # key packing bound: deg*(n+1)+id needs n^2 < 2^63.
+            kb = self.deg[b] * np.int64(n + 1) + b
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             "kb": pa.array(kb)})
 
     oriented = undirected.map_batches(
         Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
         concurrency=(1, 4)).materialize()
 
-    # wedges: for each a, all ordered pairs of out-neighbors
+    # wedges: for each a, all pairs of out-neighbors ordered by the
+    # orientation's (deg, id) total order (kb), so the closing edge
+    # (b -> c) exists in the oriented set iff the triangle exists.
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nb = np.sort(g["b"].to_numpy())
+        order = np.argsort(g["kb"].to_numpy(), kind="stable")
+        nb = g["b"].to_numpy()[order]
         k = len(nb)
         if k < 2:
-            return pd.DataFrame({"b": [], "c": [], "a": []})
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "a": pd.Series([], dtype="int64")})
         iu, ju = np.triu_indices(k, k=1)
         return pd.DataFrame({"b": nb[iu], "c": nb[ju],
                              "a": np.full(len(iu), g["a"].iloc[0])})

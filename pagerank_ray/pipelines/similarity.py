@@ -1,0 +1,174 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+``knn_bruteforce`` — the correctness baseline: the (small) query
+matrix is broadcast once with ray.put; every batch computes a float64
+cosine block-matmul against it and emits per-batch top-k candidates;
+the driver merges the tiny candidate set. One pass over the data, no
+shuffle.
+
+``knn_lsh`` — the scale path: random-hyperplane LSH signatures bucket
+the corpus (groupby shuffle keyed on the signature); queries probe
+their own bucket plus all Hamming-1 neighbors. Approximate — recall
+is tested against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _to_ds(x):
+    return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1), 1e-300)[:, None]
+
+
+def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
+                   round_to: int | None = 6) -> pa.Table:
+    """Exact cosine top-k. Returns (query_id, neighbor_id, cos_sim, rnk)
+    sorted by (query_id, rnk); self-matches excluded; ties broken by
+    neighbor_id asc. ``round_to`` rounds cos_sim for cross-engine
+    hash parity (None = raw)."""
+    ds = _to_ds(embs)
+    qset = sorted(query_ids)
+
+    q_rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+              for r in ds.take_all() if r["vec_id"] in set(qset)}
+    qmat = _normalize(np.stack([q_rows[i] for i in qset]))
+    qids = np.array(qset, dtype=np.int64)
+    qref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        def __init__(self, qref, k):
+            self.qids, self.qmat = ray.get(qref) if isinstance(
+                qref, ray.ObjectRef) else qref
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bid = t.column("vec_id").to_numpy()
+            bm = _normalize(np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v in t.column("embedding").to_pylist()]))
+            sims = self.qmat @ bm.T                     # (Q, B)
+            # mask self-matches
+            for qi, qv in enumerate(self.qids):
+                sims[qi, bid == qv] = -np.inf
+            kk = min(self.k, sims.shape[1])
+            # per query: top-k by (sim desc, id asc)
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            q_out = np.repeat(self.qids, kk)
+            n_out = bid[idx].ravel()
+            s_out = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(s_out)
+            return pa.table({"query_id": pa.array(q_out[keep]),
+                             "neighbor_id": pa.array(n_out[keep]),
+                             "cos_sim": pa.array(s_out[keep])})
+
+    partial = ds.map_batches(PartialTopK, fn_constructor_args=(qref, k),
+                             batch_format="pyarrow", concurrency=(1, 4))
+    cand = partial.to_pandas()
+    cand = cand.sort_values(["query_id", "cos_sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="stable")
+    cand = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    cand["rnk"] = cand.groupby("query_id").cumcount() + 1
+    if round_to is not None:
+        cand["cos_sim"] = cand["cos_sim"].round(round_to)
+    return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+class _HyperplaneHasher:
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(nbits, dim)
+        self.nbits = nbits
+
+    def sign_bits(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        weights = (1 << np.arange(self.nbits)).astype(np.int64)
+        return bits.astype(np.int64) @ weights
+
+
+def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
+            seed: int = 42) -> pa.Table:
+    """LSH-bucketed approximate top-k (probes own + Hamming-1 buckets).
+
+    Same output schema as knn_bruteforce (cos_sim unrounded);
+    approximate — compare by recall, not equality.
+    """
+    ds = _to_ds(embs)
+    rows = ds.take_all()
+    dim = len(rows[0]["embedding"])
+    hasher = _HyperplaneHasher(dim, nbits, seed)
+    href = ray.put(hasher)
+
+    class Bucketize:
+        def __init__(self, href):
+            self.h = ray.get(href) if isinstance(
+                href, ray.ObjectRef) else href
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v in t.column("embedding").to_pylist()]))
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+                "bucket": pa.array(self.h.sign_bits(m)),
+            })
+
+    bucketed = ds.map_batches(Bucketize, fn_constructor_args=(href,),
+                              batch_format="pyarrow",
+                              concurrency=(1, 4)).materialize()
+
+    # queries with their buckets + Hamming-1 probes
+    qset = set(query_ids)
+    qrows = [r for r in bucketed.take_all() if r["vec_id"] in qset]
+    probe = {}
+    for r in qrows:
+        b = r["bucket"]
+        targets = [b] + [b ^ (1 << i) for i in range(nbits)]
+        for t in targets:
+            probe.setdefault(t, []).append(
+                (r["vec_id"], np.asarray(r["embedding"], np.float64)))
+    probe_ref = ray.put(probe)
+
+    def per_bucket(g: pd.DataFrame, probe=None) -> pd.DataFrame:
+        p = probe
+        b = int(g["bucket"].iloc[0])
+        if b not in p:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.stack(
+            [np.asarray(v, np.float64) for v in g["embedding"]]))
+        out_q, out_n, out_s = [], [], []
+        for qid, qv in p[b]:
+            qn = qv / max(np.linalg.norm(qv), 1e-300)
+            sims = m @ qn
+            for i in np.argsort(-sims)[:k + 1]:
+                if ids[i] != qid:
+                    out_q.append(qid)
+                    out_n.append(ids[i])
+                    out_s.append(sims[i])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "cos_sim": out_s})
+
+    import functools
+    probe_local = ray.get(probe_ref)
+    cand = bucketed.groupby("bucket").map_groups(
+        functools.partial(per_bucket, probe=probe_local),
+        batch_format="pandas")
+    df = cand.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
+    df = df.sort_values(["query_id", "cos_sim", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rnk"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,131 @@
+"""Dedup families + similarity search vs brute-force truth."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pagerank_ray.functions.hashing import (jaccard, shingle_hashes,
+                                            simhash64, word_shingles)
+from pagerank_ray.pipelines.dedup import (embedding_cosine_pairs,
+                                          exact_dedup, minhash_lsh_pairs,
+                                          ngram_jaccard_pairs, simhash_pairs)
+from pagerank_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+
+def _dup_docs():
+    """Fixture with exact dups, near dups, and unrelated docs."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest today")  # 1 word changed
+    other = ("completely different content about database engines and "
+             "distributed query processing with ray data pipelines")
+    texts = [base, near, base, other, "tiny", "tiny"]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_exact_dedup():
+    out = exact_dedup(_dup_docs())
+    # doc 2 dups doc 0; doc 5 dups doc 4
+    assert out.column("doc_id").to_pylist() == [0, 1, 3, 4]
+
+
+def test_ngram_jaccard_exact_pairs():
+    out = ngram_jaccard_pairs(_dup_docs(), n=3, threshold=0.5)
+    pairs = list(zip(out.column("a").to_pylist(),
+                     out.column("b").to_pylist()))
+    # brute-force truth
+    docs = _dup_docs()
+    texts = docs.column("text").to_pylist()
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a = shingle_hashes(texts[i])
+            b = shingle_hashes(texts[j])
+            if len(a) and len(b) and \
+                    jaccard(np.sort(a), np.sort(b)) >= 0.5:
+                want.append((i, j))
+    assert pairs == sorted(want)
+    assert (0, 2) in pairs and (0, 1) in pairs and (4, 5) in pairs
+    # verify int columns consistent
+    for r in out.to_pylist():
+        assert r["inter_size"] <= r["union_size"]
+
+
+def test_minhash_lsh_finds_near_dups():
+    out = minhash_lsh_pairs(_dup_docs(), threshold=0.5)
+    pairs = set(zip(out.column("a").to_pylist(),
+                    out.column("b").to_pylist()))
+    assert {(0, 1), (0, 2), (1, 2), (4, 5)} <= pairs
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+    assert jac[(0, 2)] == 1.0  # exact dup
+    assert 0.5 <= jac[(0, 1)] < 1.0
+
+
+def test_simhash_pairs():
+    out = simhash_pairs(_dup_docs(), max_hamming=6)
+    pairs = set(zip(out.column("a").to_pylist(),
+                    out.column("b").to_pylist()))
+    assert (0, 2) in pairs  # identical text -> hamming 0
+    ham = {(r["a"], r["b"]): r["hamming"] for r in out.to_pylist()}
+    assert ham[(0, 2)] == 0
+    # near-dup should be within a few bits
+    assert simhash64(_dup_docs().column("text")[0].as_py()) == \
+        simhash64(_dup_docs().column("text")[2].as_py())
+
+
+def _emb_table(n=40, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim)
+    # plant near-duplicates: 1≈0, 11≈10
+    m[1] = m[0] + 0.01 * rng.randn(dim)
+    m[11] = m[10] + 0.01 * rng.randn(dim)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in m], pa.list_(pa.float32())),
+    })
+
+
+def test_embedding_cosine_pairs():
+    out = embedding_cosine_pairs(_emb_table(), threshold=0.99)
+    pairs = set(zip(out.column("a").to_pylist(),
+                    out.column("b").to_pylist()))
+    assert (0, 1) in pairs and (10, 11) in pairs
+
+
+def test_knn_bruteforce_matches_numpy():
+    t = _emb_table()
+    out = knn_bruteforce(t, query_ids=[0, 10], k=5)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # numpy truth
+    m = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    for q in (0, 10):
+        sims = m @ m[q]
+        sims[q] = -np.inf
+        want = list(np.argsort(-sims, kind="stable")[:5])
+        assert got[q] == want
+    assert got[0][0] == 1 and got[10][0] == 11
+
+
+def test_knn_lsh_recall():
+    t = _emb_table(n=60)
+    exact = knn_bruteforce(t, query_ids=[0, 10], k=5)
+    approx = knn_lsh(t, query_ids=[0, 10], k=5, nbits=6)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # nearest planted neighbor must be found; overall recall >= 40%
+    assert 1 in ap[0] and 11 in ap[10]
+    total = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    assert total >= 0.4 * sum(len(v) for v in ex.values())

@@ -68,6 +68,23 @@ def test_triangles_exact():
     assert got["0"] == 3 and got["10"] == 6 and got["20"] == 0
 
 
+def test_triangles_random_graph_heterogeneous_degrees():
+    """Dense random graph where (deg,id) order != id order — regression
+    for wedge-pair ordering vs orientation order."""
+    import pyarrow as pa
+    rng = np.random.RandomState(3)
+    n, m = 30, 200
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    t = pa.table({"src": pa.array([str(x) for x in src]),
+                  "dst": pa.array([str(x) for x in dst])})
+    res = triangle_counts(from_arrow_edges(t))
+    got = {r["node"]: r["tri_count"] for r in res.to_pylist()}
+    want = triangles_oracle(list(zip([str(x) for x in src],
+                                     [str(x) for x in dst])))
+    assert got == want
+
+
 def test_triangles_duplicate_edges_deduped():
     import pyarrow as pa
     rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
