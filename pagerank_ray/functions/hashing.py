@@ -67,6 +67,19 @@ class MinHasher:
         })
 
 
+_DEFAULT_HASHER: "MinHasher | None" = None
+
+
+def minhash_batch(batch):
+    """Stateless-task form of MinHasher (process-cached permutation
+    tables): lets Ray Data scale it as plain tasks with the cluster
+    CPU count instead of a fixed actor pool."""
+    global _DEFAULT_HASHER
+    if _DEFAULT_HASHER is None:
+        _DEFAULT_HASHER = MinHasher()
+    return _DEFAULT_HASHER(batch)
+
+
 def band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
     """LSH banding: one stable uint64 key per band (blake2b of the
     band's rows)."""

@@ -1,32 +1,38 @@
-"""CSR shard actors (SURVEY.md ST3, north_rule actor-held state).
+"""Shard state + worker actors (SURVEY.md ST3, north_rule actor-held state).
 
-One ``GraphShard`` actor per graph partition holds, pinned across ALL
-iterations:
-  * the CSR block of edges whose src_id % P == part (sorted by local
-    src; ``indptr`` gives per-src edge ranges for delta frontiers),
-  * per-edge weights  w = 1/outdeg(src)  (out-degree is shard-local by
-    construction — duplicate edges contribute separately, reproducing
-    the reference's COO-coalesce summing, /root/reference/pagerank.py:74-77),
-  * the node-id slice {part, part+P, ...}: rank/label vectors, the
-    dangling indicator ``a`` (/root/reference/pagerank.py:131-134), the
-    personalization slice ``v``, and the local node-name array,
-  * a precomputed grouping of its edges by DESTINATION partition
-    (``dorder``/``dbounds``) so the per-iteration all-to-all emits one
-    dense partial per target partition via a single bincount.
+Two-level decomposition:
 
-Per-iteration exchange: each actor returns P partial arrays
-(``num_returns=P`` → one ObjectRef each); the driver routes ref lists
-so actor k fetches exactly the P partials addressed to it — the
-all-to-all goes through the object store, never the driver.
+* ``ShardState`` — the per-PARTITION state: the CSR block of edges with
+  src_id % P == shard, per-edge weights w = 1/outdeg(src) (out-degree
+  is shard-local by construction; duplicate edges contribute
+  separately, reproducing the reference's COO-coalesce summing,
+  /root/reference/pagerank.py:74-77), the node-id slice
+  {shard, shard+P, ...} with its rank/label vectors, dangling
+  indicator ``a`` (pagerank.py:131-134), personalization slice and
+  node names. ``num_parts`` (P) is a property of the GRAPH, fixed at
+  build time — so per-shard state, checkpoints and reduction order
+  are identical regardless of cluster size.
 
-Determinism: partials are combined in fixed partition order and all
-math is float64, so results are bit-identical for a fixed ``num_parts``
-regardless of cluster size. Actors are created with ``num_cpus=0``
-because ``num_parts`` is a property of the graph, not the cluster —
-with 1-CPU actors a P-shard graph could deadlock on a < P-core
-cluster. On a real cluster you'd pick P ≈ k × total cores and give
-actors ``num_cpus=1`` plus ``max_restarts`` (state reloads from the
-shard parquet + last checkpoint — see pagerank.py resume).
+* ``GraphWorker`` — an actor owning a contiguous group of shards, ONE
+  WORKER PER CPU (num_cpus=1). Cluster size determines the worker
+  count A = min(P, cluster CPUs); each worker processes its shards
+  sequentially per round. This is the standard fixed-partitions /
+  elastic-workers model: state keys on the shard, compute capacity on
+  the cluster, and resume works across DIFFERENT cluster sizes because
+  checkpoints are per-shard.
+
+Exchange layout (PageRank/CC): each worker emits ONE concatenated
+partial per round — destination-partition segments laid end-to-end
+(segment k holds n_k slots, Σ n_k = n) accumulated across its owned
+shards by a single scatter-add — and receivers slice their segments
+ZERO-COPY out of shared memory. One object put per worker per round;
+on a multi-node cluster swap in per-destination-worker objects so the
+network ships segment bytes only (same math, different num_returns).
+
+Determinism: within a fixed worker count the reduction order is fixed
+-> bit-identical reruns and resumes. Across different worker counts
+the local pre-combine order changes -> results agree to float64
+round-off (~1e-15), far inside the 1e-6 conformance tolerance.
 """
 
 from __future__ import annotations
@@ -39,270 +45,321 @@ import ray
 
 from . import build as gb
 
-_SENTINEL = np.int64
+
+def part_sizes(n: int, P: int) -> np.ndarray:
+    return np.array([(n - k + P - 1) // P if n > k else 0
+                     for k in range(P)], dtype=np.int64)
 
 
-@ray.remote(num_cpus=0)
-class GraphShard:
+def seg_offsets(n: int, P: int) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(part_sizes(n, P))]).astype(
+        np.int64)
+
+
+class ShardState:
+    """All per-partition arrays; plain object held inside a worker."""
+
     def __init__(self, graph_dir: str, part: int, meta: dict):
         self.part = part
         self.P = int(meta["num_parts"])
         self.n = int(meta["n"])
-        self.n_local = (self.n - part + self.P - 1) // self.P \
-            if self.n > part else 0
+        P = self.P
+        self.n_local = (self.n - part + P - 1) // P if self.n > part else 0
 
         src, dst = gb.load_part_edges(graph_dir, part)
-        src_local = src // self.P
+        src_local = src // P
         order = np.argsort(src_local, kind="stable")
         self.src_local = src_local[order]
         self.dst = dst[order]
-        self.indptr = np.searchsorted(
-            self.src_local, np.arange(self.n_local + 1))
+        self.indptr = np.searchsorted(self.src_local,
+                                      np.arange(self.n_local + 1))
 
         outdeg = np.bincount(self.src_local, minlength=self.n_local)
         self.outdeg = outdeg
-        with np.errstate(divide="ignore"):
-            inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
-        self.weight = inv[self.src_local]  # float64
+        inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
+        self.weight = inv[self.src_local]
 
-        self.dst_part = (self.dst % self.P).astype(np.int64)
-        self.dst_local = self.dst // self.P
-        self.dorder = np.argsort(self.dst_part, kind="stable")
-        self.dbounds = np.searchsorted(
-            self.dst_part[self.dorder], np.arange(self.P + 1))
+        self.dst_part = (self.dst % P).astype(np.int64)
+        self.dst_local = self.dst // P
 
-        # dangling indicator over the local id slice
+        offs = seg_offsets(self.n, P)
+        self.offs = offs
+        psort = np.argsort(self.dst_part, kind="stable")
+        self.pr_src = self.src_local[psort]
+        self.pr_w = self.weight[psort]
+        self.dst_concat = offs[self.dst_part[psort]] + self.dst_local[psort]
+        self.dbounds = np.searchsorted(self.dst_part[psort],
+                                       np.arange(P + 1))
+        self.psort = psort
+
         self.a = np.ones(self.n_local, dtype=np.float64)
         self.a[outdeg > 0] = 0.0
+        self.names = gb.load_part_names(graph_dir, part, P)
 
-        self.names = gb.load_part_names(graph_dir, part, self.P)
-
-        # iteration state
-        self.x = None
+        # iteration state (algorithm-specific)
         self.x_unnorm = None
+        self.x_prev = None
         self.v = None
-        self.alpha = 0.85
         self.labels = None
         self.active = None
 
-    def _part_sizes(self) -> np.ndarray:
-        return np.array([(self.n - k + self.P - 1) // self.P
-                         if self.n > k else 0 for k in range(self.P)])
-
-    def ping(self) -> int:
-        return self.n_local
-
-    # ---------------- PageRank (power method, pagerank.py:122-172) ---
-
-    def pr_init(self, alpha: float, v_indicator) -> float:
-        """Set personalization slice; return partial sum(v_raw^2).
-
-        ``v_indicator``: None -> uniform; else a callable
-        name -> bool evaluated over the local node names (the M4
-        predicate for personalized PageRank, pagerank.py:97-119).
-        The reference normalizes v by sum then by L2
-        (pagerank.py:115-117,140); the sum step cancels inside the L2
-        step, so only the L2 normalization is applied (same result).
-        """
-        self.alpha = float(alpha)
-        if v_indicator is None:
-            self.v = np.ones(self.n_local, dtype=np.float64)
-        else:
-            self.v = np.array([1.0 if v_indicator(nm) else 0.0
-                               for nm in self.names], dtype=np.float64)
-        self.x = np.full(self.n_local, 1.0, dtype=np.float64) / np.sqrt(self.n)
-        self.x_unnorm = None
-        return float(np.sum(self.v * self.v)), float(np.sum(self.v))
-
-    def pr_scale_v(self, v_norm: float) -> float:
-        """Divide v by its global L2 norm; return partial x0·a."""
-        self.v /= v_norm
-        return float(self.x @ self.a)
-
-    def pr_set_x(self, x_local: np.ndarray) -> float:
-        """Install a rank slice (resume path); return partial x·a."""
-        self.x = np.asarray(x_local, dtype=np.float64)
-        return float(self.x @ self.a)
-
-    def pr_contribs(self):
-        """alpha * P^T x partials, one dense array per dst partition."""
-        val = self.alpha * self.weight * self.x[self.src_local]
-        sizes = self._part_sizes()
-        out = []
-        for k in range(self.P):
-            idx = self.dorder[self.dbounds[k]:self.dbounds[k + 1]]
-            out.append(np.bincount(self.dst_local[idx], weights=val[idx],
-                                   minlength=sizes[k]))
-        return tuple(out) if self.P > 1 else out[0]
-
-    def pr_apply(self, partial_refs, q_scalar: float) -> float:
-        """Sum inbound partials (fixed order) + q·v; return partial ||x||²."""
-        acc = q_scalar * self.v
-        for r in partial_refs:
-            p = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            if len(p):
-                acc = acc + p
-        self.x_unnorm = acc
-        return float(acc @ acc)
-
-    def pr_finalize(self, norm: float):
-        """Normalize; return (partial ||x-xprev||², partial x·a)."""
-        x_new = self.x_unnorm / norm
-        diff = x_new - self.x
-        self.x = x_new
-        self.x_unnorm = None
-        return float(diff @ diff), float(x_new @ self.a)
-
-    def pr_ranks(self):
-        """(global_ids, names, rank) for this slice."""
-        ids = np.arange(self.n_local, dtype=np.int64) * self.P + self.part
-        return ids, self.names, self.x.copy()
-
-    def pr_save(self, ckpt_dir: str, iteration: int) -> int:
-        d = os.path.join(ckpt_dir, f"iter={iteration}")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"part-{self.part}.tmp.npy")
-        np.save(tmp, self.x)
-        os.replace(tmp, os.path.join(d, f"part-{self.part}.npy"))
-        return self.n_local
-
-    def pr_load(self, ckpt_dir: str, iteration: int) -> float:
-        path = os.path.join(ckpt_dir, f"iter={iteration}",
-                            f"part-{self.part}.npy")
-        self.x = np.load(path)
-        return float(self.x @ self.a)
-
-    # -------- Connected components: hash-min label propagation -------
-
-    def cc_init(self) -> int:
-        self.labels = np.arange(self.n_local, dtype=np.int64) * self.P \
-            + self.part
-        self.active = np.ones(self.n_local, dtype=bool)
-        return self.n_local
-
-    def _frontier_edges(self) -> np.ndarray:
-        """Edge indices whose src label changed last round (delta)."""
-        if self.active.all():
+    def frontier_edges(self) -> np.ndarray:
+        """Edge indices (CSR order) whose src changed last round."""
+        if self.active is None or self.active.all():
             return np.arange(len(self.src_local))
         srcs = np.flatnonzero(self.active)
         if len(srcs) == 0:
             return np.empty(0, np.int64)
         starts = self.indptr[srcs]
-        ends = self.indptr[srcs + 1]
-        counts = ends - starts
-        # vectorized concatenation of ranges
+        counts = self.indptr[srcs + 1] - starts
         total = int(counts.sum())
         if total == 0:
             return np.empty(0, np.int64)
-        out = np.repeat(starts + counts - counts.cumsum(), counts) \
+        return np.repeat(starts + counts - counts.cumsum(), counts) \
             + np.arange(total)
-        return out
 
-    def cc_contribs(self):
-        """Per-dst-partition min-label messages from the frontier."""
-        sel = self._frontier_edges()
-        sizes = self._part_sizes()
-        sentinel = np.int64(self.n)
-        out = []
-        if len(sel) == 0:
-            for k in range(self.P):
-                out.append(np.full(sizes[k], sentinel, dtype=np.int64))
-        else:
-            kparts = self.dst_part[sel]
-            lab = self.labels[self.src_local[sel]]
-            dloc = self.dst_local[sel]
-            for k in range(self.P):
-                m = kparts == k
-                partial = np.full(sizes[k], sentinel, dtype=np.int64)
-                if m.any():
-                    np.minimum.at(partial, dloc[m], lab[m])
-                out.append(partial)
-        return tuple(out) if self.P > 1 else out[0]
 
-    def cc_apply(self, partial_refs) -> int:
-        combined = np.full(self.n_local, np.int64(self.n), dtype=np.int64)
-        for r in partial_refs:
-            p = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            if len(p):
-                np.minimum(combined, p, out=combined)
-        changed = combined < self.labels
-        self.labels = np.where(changed, combined, self.labels)
-        self.active = changed
-        return int(changed.sum())
+@ray.remote
+class GraphWorker:
+    def __init__(self, graph_dir: str, shard_ids: list[int], meta: dict):
+        self.meta = meta
+        self.P = int(meta["num_parts"])
+        self.n = int(meta["n"])
+        self.shard_ids = list(shard_ids)
+        self.shards = [ShardState(graph_dir, j, meta)
+                       for j in self.shard_ids]
+        self.offs = seg_offsets(self.n, self.P)
+        self.alpha = 0.85
+        self._concat_buf = None
+        self._int_buf = None
+
+    def ping(self) -> list[int]:
+        return self.shard_ids
+
+    # ---------------- PageRank (power method, pagerank.py:122-172) ---
+    #
+    # Two RPC rounds per iteration (the minimum for exact semantics):
+    # step1 normalizes the pending iterate by its global norm, emits
+    # the deferred residual (bit-identical values, stop check at the
+    # start of the next pass) and the combined alpha·P^T x concat
+    # partial; step2 sums inbound segments (FIXED worker order) + q·v.
+
+    def pr_init(self, alpha: float, v_indicator):
+        self.alpha = float(alpha)
+        out = np.zeros(4)
+        for sh in self.shards:
+            if v_indicator is None:
+                sh.v = np.ones(sh.n_local, dtype=np.float64)
+            else:
+                sh.v = np.array([1.0 if v_indicator(nm) else 0.0
+                                 for nm in sh.names], dtype=np.float64)
+            sh.x_unnorm = np.full(sh.n_local, 1.0,
+                                  dtype=np.float64) / np.sqrt(self.n)
+            sh.x_prev = None
+            out += (sh.v @ sh.v, sh.v.sum(),
+                    sh.x_unnorm @ sh.x_unnorm, sh.x_unnorm @ sh.a)
+        if self._concat_buf is None:
+            self._concat_buf = np.zeros(self.n, dtype=np.float64)
+        return tuple(float(x) for x in out)
+
+    def pr_scale_v(self, v_norm: float) -> None:
+        for sh in self.shards:
+            sh.v /= v_norm
+
+    def pr_step1(self, s: float):
+        resid = 0.0
+        have_prev = True
+        buf = self._concat_buf
+        buf.fill(0.0)
+        for sh in self.shards:
+            x = sh.x_unnorm / s
+            if sh.x_prev is None:
+                have_prev = False
+            else:
+                diff = x - sh.x_prev
+                resid += float(diff @ diff)
+            sh.x_prev = x
+            if len(sh.pr_src):
+                val = self.alpha * sh.pr_w * x[sh.pr_src]
+                np.add.at(buf, sh.dst_concat, val)
+        return (resid if have_prev else -1.0), buf
+
+    def pr_step2(self, partial_refs, q_scalar: float):
+        arrays = ray.get(list(partial_refs)) if partial_refs and \
+            isinstance(partial_refs[0], ray.ObjectRef) else partial_refs
+        ss = 0.0
+        dot = 0.0
+        for sh in self.shards:
+            lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
+            acc = q_scalar * sh.v
+            for p in arrays:
+                acc = acc + p[lo:hi]
+            sh.x_unnorm = acc
+            ss += float(acc @ acc)
+            dot += float(acc @ sh.a)
+        return ss, dot
+
+    def pr_ranks(self):
+        return [(np.arange(sh.n_local, dtype=np.int64) * self.P + sh.part,
+                 sh.names, sh.x_prev.copy()) for sh in self.shards]
+
+    def pr_save(self, ckpt_dir: str, iteration: int) -> int:
+        d = os.path.join(ckpt_dir, f"iter={iteration}")
+        os.makedirs(d, exist_ok=True)
+        for sh in self.shards:
+            tmp = os.path.join(d, f"part-{sh.part}.tmp.npz")
+            np.savez(tmp, x_prev=sh.x_prev, x_unnorm=sh.x_unnorm)
+            os.replace(tmp, os.path.join(d, f"part-{sh.part}.npz"))
+        return len(self.shards)
+
+    def pr_load(self, ckpt_dir: str, iteration: int):
+        ss = 0.0
+        dot = 0.0
+        for sh in self.shards:
+            z = np.load(os.path.join(ckpt_dir, f"iter={iteration}",
+                                     f"part-{sh.part}.npz"))
+            sh.x_prev = z["x_prev"]
+            sh.x_unnorm = z["x_unnorm"]
+            ss += float(sh.x_unnorm @ sh.x_unnorm)
+            dot += float(sh.x_unnorm @ sh.a)
+        return ss, dot
+
+    # -------- Connected components: hash-min, delta frontier ---------
+
+    def cc_init(self) -> int:
+        for sh in self.shards:
+            sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
+                + sh.part
+            sh.active = None  # None -> full frontier first round
+        if self._int_buf is None:
+            self._int_buf = np.empty(self.n, dtype=np.int64)
+        return sum(sh.n_local for sh in self.shards)
+
+    def cc_step1(self):
+        """Min-label messages from each shard's frontier, combined into
+        one sentinel-initialized concat buffer."""
+        buf = self._int_buf
+        buf.fill(self.n)
+        for sh in self.shards:
+            sel = sh.frontier_edges()
+            if len(sel) == 0:
+                continue
+            lab = sh.labels[sh.src_local[sel]]
+            tgt = sh.offs[sh.dst_part[sel]] + sh.dst_local[sel]
+            np.minimum.at(buf, tgt, lab)
+        return buf
+
+    def cc_step2(self, partial_refs) -> int:
+        arrays = ray.get(list(partial_refs)) if partial_refs and \
+            isinstance(partial_refs[0], ray.ObjectRef) else partial_refs
+        changed_total = 0
+        for sh in self.shards:
+            lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
+            combined = np.full(sh.n_local, np.int64(self.n))
+            for p in arrays:
+                np.minimum(combined, p[lo:hi], out=combined)
+            changed = combined < sh.labels
+            sh.labels = np.where(changed, combined, sh.labels)
+            sh.active = changed
+            changed_total += int(changed.sum())
+        return changed_total
 
     # ------------- Community label propagation (synchronous) ---------
 
     def lpa_init(self) -> int:
-        self.labels = np.arange(self.n_local, dtype=np.int64) * self.P \
-            + self.part
-        return self.n_local
+        for sh in self.shards:
+            sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
+                + sh.part
+        return sum(sh.n_local for sh in self.shards)
 
-    def lpa_contribs(self):
-        """Per-dst-partition (key=dst_local*n+label, count) partials.
+    def lpa_step1(self):
+        """(key = concat_dst_slot * n + label, count) partials,
+        pre-aggregated across owned shards (combiner before shuffle).
 
-        Key packing bounds n < ~3e9 (n_local*n must fit int64); at
-        larger n switch the key to a structured array. Documented.
-        """
-        lab = self.labels[self.src_local]
-        out = []
-        for k in range(self.P):
-            idx = self.dorder[self.dbounds[k]:self.dbounds[k + 1]]
-            if len(idx) == 0:
-                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-                continue
-            key = self.dst_local[idx].astype(np.int64) * self.n + lab[idx]
-            uk, cnt = np.unique(key, return_counts=True)
-            out.append((uk, cnt.astype(np.int64)))
-        return tuple(out) if self.P > 1 else out[0]
-
-    def lpa_apply(self, partial_refs) -> int:
+        Key packing bounds n^2 < 2^63 (document: switch to structured
+        keys beyond ~3e9 nodes)."""
         keys = []
-        cnts = []
-        for r in partial_refs:
-            p = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            uk, c = p
-            if len(uk):
-                keys.append(uk)
-                cnts.append(c)
+        for sh in self.shards:
+            if len(sh.src_local) == 0:
+                continue
+            lab = sh.labels[sh.src_local]
+            tgt = sh.offs[sh.dst_part] + sh.dst_local
+            keys.append(tgt.astype(np.int64) * self.n + lab)
         if not keys:
-            self._lpa_next = self.labels.copy()
-            return 0
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
         key = np.concatenate(keys)
-        cnt = np.concatenate(cnts)
+        uk, cnt = np.unique(key, return_counts=True)
+        return uk, cnt.astype(np.int64)
+
+    def lpa_step2(self, partial_refs) -> int:
+        pairs = ray.get(list(partial_refs)) if partial_refs and \
+            isinstance(partial_refs[0], ray.ObjectRef) else partial_refs
+        allk = [p[0] for p in pairs if len(p[0])]
+        allc = [p[1] for p in pairs if len(p[0])]
+        changed = 0
+        if not allk:
+            for sh in self.shards:
+                sh._lpa_next = sh.labels.copy()
+            return 0
+        key = np.concatenate(allk)
+        cnt = np.concatenate(allc)
         uk, inv = np.unique(key, return_inverse=True)
         total = np.bincount(inv, weights=cnt).astype(np.int64)
-        dst = uk // self.n
+        slot = uk // self.n
         lab = uk % self.n
-        # per dst: max count, tiebreak min label — lexsort: primary dst,
-        # then count desc, then label asc; first row per dst wins.
-        order = np.lexsort((lab, -total, dst))
-        dsts_sorted = dst[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = dsts_sorted[1:] != dsts_sorted[:-1]
-        win_dst = dsts_sorted[first]
-        win_lab = lab[order][first]
-        nxt = self.labels.copy()
-        nxt[win_dst] = win_lab
-        self._lpa_next = nxt
-        return int(np.sum(nxt != self.labels))
+        for sh in self.shards:
+            lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
+            m = (slot >= lo) & (slot < hi)
+            if not m.any():
+                sh._lpa_next = sh.labels.copy()
+                continue
+            d = slot[m] - lo
+            lb = lab[m]
+            ct = total[m]
+            order = np.lexsort((lb, -ct, d))
+            ds = d[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = ds[1:] != ds[:-1]
+            nxt = sh.labels.copy()
+            nxt[ds[first]] = lb[order][first]
+            sh._lpa_next = nxt
+            changed += int(np.sum(nxt != sh.labels))
+        return changed
 
     def lpa_commit(self) -> None:
-        """Synchronous barrier: swap in the round's labels."""
-        self.labels = self._lpa_next
-        self._lpa_next = None
+        for sh in self.shards:
+            sh.labels = sh._lpa_next
+            sh._lpa_next = None
 
     def get_labels(self):
-        ids = np.arange(self.n_local, dtype=np.int64) * self.P + self.part
-        return ids, self.names, self.labels.copy()
+        return [(np.arange(sh.n_local, dtype=np.int64) * self.P + sh.part,
+                 sh.names, sh.labels.copy()) for sh in self.shards]
 
 
-def create_shards(graph_dir: str, meta: dict | None = None):
-    """Instantiate the actor pool, one GraphShard per partition."""
+def shard_groups(P: int, num_workers: int) -> list[list[int]]:
+    """Contiguous split of shard ids 0..P-1 into num_workers groups."""
+    bounds = np.linspace(0, P, num_workers + 1).astype(int)
+    return [list(range(bounds[i], bounds[i + 1]))
+            for i in range(num_workers) if bounds[i] < bounds[i + 1]]
+
+
+def create_workers(graph_dir: str, meta: dict | None = None,
+                   num_workers: int | None = None,
+                   num_cpus_per_worker: float = 1):
+    """One worker actor per CPU (default), each owning P/A shards."""
     meta = meta or gb.read_meta(graph_dir)
-    return [GraphShard.remote(graph_dir, j, meta)
-            for j in range(meta["num_parts"])], meta
+    P = meta["num_parts"]
+    if num_workers is None:
+        avail = int(ray.cluster_resources().get("CPU", 1))
+        num_workers = max(1, min(P, avail))
+    groups = shard_groups(P, num_workers)
+    workers = [
+        GraphWorker.options(num_cpus=num_cpus_per_worker).remote(
+            graph_dir, g, meta)
+        for g in groups]
+    return workers, meta
 
 
-def kill_shards(actors) -> None:
-    for a in actors:
-        ray.kill(a)
+def kill_workers(workers) -> None:
+    for w in workers:
+        ray.kill(w)

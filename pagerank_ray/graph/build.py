@@ -108,6 +108,61 @@ def build_graph(
     return meta
 
 
+def build_graph_from_ids(
+    src_ids: "np.ndarray",
+    dst_ids: "np.ndarray",
+    graph_dir: str,
+    num_parts: int = 32,
+    node_names: "np.ndarray | None" = None,
+    undirected: bool = False,
+) -> dict:
+    """Fast-path build for ALREADY-ENCODED integer edges (bench / re-ingest).
+
+    At 100 TB you dictionary-encode once and keep the encoded edge
+    table; re-partitioning it must not pay the string pipeline again.
+    Writes the same layout as build_graph. ``node_names`` defaults to
+    stringified ids.
+    """
+    n = int(max(src_ids.max(), dst_ids.max())) + 1 if len(src_ids) else 0
+    if undirected:
+        src_ids, dst_ids = (np.concatenate([src_ids, dst_ids]),
+                            np.concatenate([dst_ids, src_ids]))
+    os.makedirs(graph_dir, exist_ok=True)
+    edges_dir = os.path.join(graph_dir, "edges")
+    part = (src_ids % num_parts).astype(np.int32)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
+    for j in range(num_parts):
+        sl = order[bounds[j]:bounds[j + 1]]
+        if len(sl) == 0:
+            continue
+        d = os.path.join(edges_dir, f"part={j}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"src_id": pa.array(src_ids[sl]),
+                      "dst_id": pa.array(dst_ids[sl])}),
+            os.path.join(d, "part-00000.parquet"))
+    if node_names is None:
+        names = pc.cast(pa.array(np.arange(n, dtype=np.int64)), pa.string())
+    else:
+        names = pa.array(node_names)
+    pq.write_table(pa.table({
+        "node": names,
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    }), os.path.join(graph_dir, "nodes.parquet"))
+    meta = {
+        "n": n,
+        "num_parts": num_parts,
+        "num_edges": int(len(src_ids)),
+        "undirected": undirected,
+        "apply_url_filter": False,
+        "filter_ratio": None,
+        "ids_sorted_by_name": False,
+    }
+    _atomic_write_json(os.path.join(graph_dir, "meta.json"), meta)
+    return meta
+
+
 def read_meta(graph_dir: str) -> dict:
     with open(os.path.join(graph_dir, "meta.json")) as f:
         return json.load(f)

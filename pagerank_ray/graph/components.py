@@ -2,16 +2,20 @@
 
 Runs on the UNDIRECTED graph (build with ``undirected=True`` so each
 shard holds both directions of its nodes' edges). Every node starts
-with its own id; each round, nodes adopt the minimum label among
-their own and their neighbors' labels; converged when no label
-changes (global changed-count aggregate == 0).
+with its own id; each round, nodes adopt the minimum label among their
+own and their neighbors' labels; converged when no label changes
+(global changed-count aggregate == 0).
 
 Delta frontier: only nodes whose label changed last round emit
-messages (GraphShard._frontier_edges) — the delta-based frontier
-activation the north_rule names. Labels are exact (min node id in
-component; ids are sorted-by-name so the label is the id of the
-lexicographically smallest member), independent of partitioning and
-round scheduling because min is idempotent/commutative.
+messages (ShardState.frontier_edges) — the delta-based frontier
+activation the north_rule names. The round exchange is one
+sentinel-initialized min-combined concat partial per worker (same
+zero-copy segment layout as PageRank).
+
+Labels are exact (min node id in component; ids sorted by name, so
+the label is the id of the lexicographically smallest member) and
+independent of partitioning/worker count because min is idempotent
+and commutative.
 """
 
 from __future__ import annotations
@@ -22,39 +26,34 @@ import pyarrow as pa
 import ray
 
 from . import build as gb
-from .actors import create_shards, kill_shards
-from .pagerank import _routed
+from .actors import create_workers, kill_workers
 
 
 def connected_components(graph_dir: str, max_rounds: int = 10_000,
-                         actors=None) -> pa.Table:
+                         workers=None) -> pa.Table:
     """Returns (id, node, label) sorted by id; label = min id in component."""
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "connected_components requires a graph built with undirected=True"
-    own = actors is None
-    A = actors or create_shards(graph_dir, meta)[0]
-    P = meta["num_parts"]
+    own = workers is None
+    W = workers or create_workers(graph_dir, meta)[0]
+    A = len(W)
     try:
-        ray.get([a.cc_init.remote() for a in A])
+        ray.get([w.cc_init.remote() for w in W])
         for _ in range(max_rounds):
-            if P == 1:
-                refs = [a.cc_contribs.remote() for a in A]
-            else:
-                refs = [a.cc_contribs.options(num_returns=P).remote()
-                        for a in A]
-            changed = ray.get([
-                A[k].cc_apply.remote(_routed(refs, k, P)) for k in range(P)])
+            refs = [w.cc_step1.remote() for w in W]
+            changed = ray.get([w.cc_step2.remote(refs) for w in W])
             if sum(changed) == 0:
                 break
-        return _collect_labels(A)
+        return collect_labels(W)
     finally:
         if own:
-            kill_shards(A)
+            kill_workers(W)
 
 
-def _collect_labels(actors) -> pa.Table:
-    parts = ray.get([a.get_labels.remote() for a in actors])
+def collect_labels(workers) -> pa.Table:
+    groups = ray.get([w.get_labels.remote() for w in workers])
+    parts = [p for g in groups for p in g]
     ids = np.concatenate([p[0] for p in parts])
     names = np.concatenate([p[1] for p in parts])
     labels = np.concatenate([p[2] for p in parts])

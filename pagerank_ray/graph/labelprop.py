@@ -7,11 +7,11 @@ round count (default 10, FIXTURES.md F5) gives exact reproducibility —
 asynchronous LPA is scheduling-dependent, so the engine pins the
 synchronous variant and the oracle matches it exactly.
 
-The per-round exchange ships (dst_local, label) COUNT partials —
-pre-aggregated per shard with np.unique before the all-to-all
-(combiner-style partial aggregation), then merged + argmaxed on the
-destination shard. ``lpa_commit`` is the synchronous barrier: all
-shards compute next labels from the old state before any swap.
+Per round each worker emits (slot, label) -> count partials
+pre-aggregated across its shards with np.unique (combiner before the
+exchange); destination workers merge, take the per-node argmax with
+min-label tiebreak (a vectorized lexsort), and ``lpa_commit`` is the
+synchronous barrier that swaps all labels at once.
 """
 
 from __future__ import annotations
@@ -21,32 +21,25 @@ import pyarrow as pa
 import ray
 
 from . import build as gb
-from .actors import create_shards, kill_shards
-from .components import _collect_labels
-from .pagerank import _routed
+from .actors import create_workers, kill_workers
+from .components import collect_labels
 
 
 def label_propagation(graph_dir: str, rounds: int = 10,
-                      actors=None) -> pa.Table:
+                      workers=None) -> pa.Table:
     """Returns (id, node, label) after ``rounds`` synchronous rounds."""
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "label_propagation requires a graph built with undirected=True"
-    own = actors is None
-    A = actors or create_shards(graph_dir, meta)[0]
-    P = meta["num_parts"]
+    own = workers is None
+    W = workers or create_workers(graph_dir, meta)[0]
     try:
-        ray.get([a.lpa_init.remote() for a in A])
+        ray.get([w.lpa_init.remote() for w in W])
         for _ in range(rounds):
-            if P == 1:
-                refs = [a.lpa_contribs.remote() for a in A]
-            else:
-                refs = [a.lpa_contribs.options(num_returns=P).remote()
-                        for a in A]
-            ray.get([A[k].lpa_apply.remote(_routed(refs, k, P))
-                     for k in range(P)])
-            ray.get([a.lpa_commit.remote() for a in A])
-        return _collect_labels(A)
+            refs = [w.lpa_step1.remote() for w in W]
+            ray.get([w.lpa_step2.remote(refs) for w in W])
+            ray.get([w.lpa_commit.remote() for w in W])
+        return collect_labels(W)
     finally:
         if own:
-            kill_shards(A)
+            kill_workers(W)

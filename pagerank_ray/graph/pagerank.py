@@ -10,20 +10,20 @@ normalization):
     x   = x' / ||x'||₂
     stop when ||x - x_prev||₂ < epsilon or max_iterations
 
-All-to-all per iteration: each shard actor emits one dense partial per
-destination partition (num_returns=P → per-partial ObjectRefs routed
-via the driver, data via the object store); the driver holds only
-scalars (q, norm, residual, dangling dot).
+Execution model: P CSR shards (fixed at graph build) distributed over
+A = one-per-CPU worker actors (see actors.py). Two RPC rounds per
+iteration; the all-to-all is one concat-partial object per worker,
+sliced zero-copy by receivers. The driver holds only scalars
+(q, norm, residual, dangling dot).
 
-Determinism: partials combined in fixed partition order, float64
-everywhere, ``num_parts`` fixed at graph build → bit-identical ranks
-at any cluster size (the cross-cluster-size reproducibility the
-north_rule requires).
+Determinism: fixed worker count -> bit-identical reruns/resumes
+(fixed reduction order, float64). Across cluster sizes results agree
+to float64 round-off, well inside the 1e-6 conformance bar.
 
-Checkpoint/resume: every ``checkpoint_every`` iterations each actor
-writes its normalized rank slice (atomic rename) and the driver
-commits a manifest (iteration, residual, scalars) — resuming from a
-manifest continues the iteration stream bit-identically.
+Checkpoint/resume: every ``checkpoint_every`` iterations each worker
+writes its shards' pass state (atomic rename, one file PER SHARD) and
+the driver commits a manifest — so a run is resumable mid-convergence
+even on a DIFFERENT cluster size (state keys on shards, not workers).
 """
 
 from __future__ import annotations
@@ -38,30 +38,25 @@ import pyarrow as pa
 import ray
 
 from . import build as gb
-from .actors import create_shards, kill_shards
-
-
-def _routed(refs_per_actor, k: int, P: int):
-    """The P partial refs addressed to partition k, in fixed order."""
-    if P == 1:
-        return [refs_per_actor[0]]
-    return [refs_per_actor[j][k] for j in range(P)]
+from .actors import create_workers, kill_workers
 
 
 class PageRankRunner:
-    """Owns the shard actor pool and the iteration loop."""
+    """Owns the worker actor pool and the iteration loop."""
 
-    def __init__(self, graph_dir: str, actors=None, meta: dict | None = None):
+    def __init__(self, graph_dir: str, workers=None,
+                 meta: dict | None = None, num_workers: int | None = None):
         self.graph_dir = graph_dir
         self.meta = meta or gb.read_meta(graph_dir)
-        self.P = self.meta["num_parts"]
-        self._own_actors = actors is None
-        self.actors = actors or create_shards(graph_dir, self.meta)[0]
+        self._own = workers is None
+        self.workers = workers or create_workers(
+            graph_dir, self.meta, num_workers=num_workers)[0]
         self.iterations_run = 0
+        self.final_residual = float("inf")
 
     def close(self):
-        if self._own_actors:
-            kill_shards(self.actors)
+        if self._own:
+            kill_workers(self.workers)
 
     def run(
         self,
@@ -73,95 +68,100 @@ class PageRankRunner:
         checkpoint_every: int = 0,
         resume: bool = False,
         stop_after: int | None = None,
-    ) -> pa.Table:
+    ) -> pa.Table | None:
         """Run to convergence; returns (id, node, rank) sorted by id.
 
-        ``stop_after`` stops after that many iterations WITHOUT
-        convergence (fault-injection for the resume test, FIXTURES F7).
-        ``resume=True`` continues from the latest manifest in
-        ``checkpoint_dir``.
+        ``stop_after`` stops (and checkpoints) after that many
+        iterations WITHOUT convergence — fault injection for the
+        resume test (FIXTURES.md F7); returns None in that case.
+        ``resume=True`` continues from the manifest in checkpoint_dir.
         """
-        A = self.actors
-        P = self.P
+        W = self.workers
+        A = len(W)
+
+        init = ray.get([w.pr_init.remote(alpha, v_indicator) for w in W])
+        v_norm = math.sqrt(sum(s[0] for s in init))
+        assert sum(s[1] for s in init) > 0, "personalization sums to 0"
+        ray.get([w.pr_scale_v.remote(v_norm) for w in W])
 
         start_iter = 0
         if resume:
             man = load_manifest(checkpoint_dir)
             start_iter = man["iteration"]
-            init = ray.get([a.pr_init.remote(alpha, v_indicator) for a in A])
-            v_norm = math.sqrt(sum(s[0] for s in init))
-            assert sum(s[1] for s in init) > 0, "personalization sums to 0"
-            ray.get([a.pr_scale_v.remote(v_norm) for a in A])
-            dots = ray.get([a.pr_load.remote(checkpoint_dir, start_iter)
-                            for a in A])
-            dot = float(sum(dots))
+            parts = ray.get([w.pr_load.remote(checkpoint_dir, start_iter)
+                             for w in W])
         else:
-            init = ray.get([a.pr_init.remote(alpha, v_indicator) for a in A])
-            v_norm = math.sqrt(sum(s[0] for s in init))
-            assert sum(s[1] for s in init) > 0, "personalization sums to 0"
-            dots = ray.get([a.pr_scale_v.remote(v_norm) for a in A])
-            dot = float(sum(dots))
+            parts = [(s[2], s[3]) for s in init]
+        s_norm = math.sqrt(sum(p[0] for p in parts))
+        dot = sum(p[1] for p in parts) / s_norm
 
         residual = float("inf")
         it = start_iter
         done_this_call = 0
-        while it < max_iterations:
+        ranks_valid = True
+        while True:
+            if stop_after is not None and done_this_call >= stop_after:
+                # state is at the post-step2 invariant -> checkpointable
+                if checkpoint_dir:
+                    self._checkpoint(checkpoint_dir, it, residual, alpha,
+                                     epsilon)
+                ranks_valid = False
+                break
+
+            step1_refs = [
+                w.pr_step1.options(num_returns=2).remote(s_norm)
+                for w in W]
+            resid_parts = ray.get([step1_refs[j][0] for j in range(A)])
+            if resid_parts[0] >= 0.0:
+                residual = math.sqrt(sum(resid_parts))
+
+            if residual < epsilon:
+                break
+            if it >= max_iterations:
+                break
+
             q = alpha * dot + (1.0 - alpha)
-
-            if P == 1:
-                contrib_refs = [a.pr_contribs.remote() for a in A]
-            else:
-                contrib_refs = [
-                    a.pr_contribs.options(num_returns=P).remote() for a in A]
-
-            ss = ray.get([
-                A[k].pr_apply.remote(_routed(contrib_refs, k, P), q)
-                for k in range(P)])
-            norm = math.sqrt(sum(ss))
-
-            fin = ray.get([a.pr_finalize.remote(norm) for a in A])
-            residual = math.sqrt(sum(f[0] for f in fin))
-            dot = float(sum(f[1] for f in fin))
+            concat_refs = [step1_refs[j][1] for j in range(A)]
+            ss_dot = ray.get([
+                w.pr_step2.remote(concat_refs, q) for w in W])
+            s_norm = math.sqrt(sum(p[0] for p in ss_dot))
+            dot = sum(p[1] for p in ss_dot) / s_norm
             it += 1
             done_this_call += 1
 
             if checkpoint_dir and checkpoint_every and \
                     it % checkpoint_every == 0:
-                self._checkpoint(checkpoint_dir, it, residual, alpha, epsilon)
-
-            if residual < epsilon:
-                break
-            if stop_after is not None and done_this_call >= stop_after:
-                if checkpoint_dir:
-                    self._checkpoint(checkpoint_dir, it, residual, alpha,
-                                     epsilon)
-                break
+                self._checkpoint(checkpoint_dir, it, residual, alpha,
+                                 epsilon)
 
         self.iterations_run = it
         self.final_residual = residual
         if checkpoint_dir and residual < epsilon:
             self._checkpoint(checkpoint_dir, it, residual, alpha, epsilon,
                              converged=True)
+        if not ranks_valid:
+            return None
         return self.collect_ranks()
 
     def _checkpoint(self, ckpt_dir, iteration, residual, alpha, epsilon,
                     converged=False):
-        counts = ray.get([a.pr_save.remote(ckpt_dir, iteration)
-                          for a in self.actors])
+        counts = ray.get([w.pr_save.remote(ckpt_dir, iteration)
+                          for w in self.workers])
         manifest = {
             "iteration": iteration,
             "residual": residual,
             "alpha": alpha,
             "epsilon": epsilon,
             "converged": converged,
-            "num_parts": self.P,
-            "part_rows": counts,
+            "num_parts": self.meta["num_parts"],
+            "shards_per_worker": counts,
         }
         gb._atomic_write_json(os.path.join(ckpt_dir, "manifest.json"),
                               manifest)
 
     def collect_ranks(self) -> pa.Table:
-        parts = ray.get([a.pr_ranks.remote() for a in self.actors])
+        groups = ray.get([w.pr_ranks.remote() for w in self.workers])
+        parts = [p for g in groups for p in g]
         ids = np.concatenate([p[0] for p in parts])
         names = np.concatenate([p[1] for p in parts])
         ranks = np.concatenate([p[2] for p in parts])

@@ -1,0 +1,109 @@
+"""Skew-aware aggregation helpers (SURVEY.md §4.2(2), north_rule).
+
+A bare ``groupby(key).count()/sum()`` shuffles every row and lands
+every row of a hot key on ONE reducer. These helpers implement the
+two standard mitigations:
+
+* partial (combiner) aggregation — collapse each batch to one row per
+  key inside ``map_batches`` BEFORE the shuffle, so the exchange
+  carries per-batch partials, not rows;
+* salted two-phase aggregation — spread each hot key over ``salt``
+  sub-keys for the first shuffle, then combine the (tiny) per-salt
+  partials in a second pass. Used when even the partial rows of a hot
+  key would swamp one reducer (power-law in-degree at 10^12-edge
+  scale).
+
+In the PageRank/CC inner loops skew is already structurally handled —
+the exchange is a dense per-partition segment sum, O(1) per edge
+regardless of key heat — so these helpers serve the Dataset-level
+operators (degree tables, heavy-hitter detection, ad-hoc analytics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def partial_count_batch(key: str):
+    """Combiner: one (key, cnt) row per distinct key per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vc = t.column(key).value_counts()
+        return pa.table({key: vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    return fn
+
+
+def grouped_count(ds, key: str, alias: str = "cnt"):
+    """Partial-aggregated distributed count by ``key``.
+
+    map_batches combiner -> small groupby(sum) shuffle. Returns a
+    Dataset with columns (key, alias).
+    """
+    partial = ds.map_batches(partial_count_batch(key),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    out = partial.groupby(key).sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({key: t.column(key),
+                         alias: t.column("sum(cnt)")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def salted_grouped_count(ds, key: str, salt: int = 16,
+                         alias: str = "cnt"):
+    """Two-phase salted count: groupby((key, hash%salt)) then
+    groupby(key) over the per-salt partials.
+
+    Deterministic salt from a stable hash of the key value (not
+    Python's randomized hash), so re-runs shuffle identically.
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        vc = t.column(key).value_counts()
+        keys = vc.field("values")
+        cnts = pc.cast(vc.field("counts"), pa.int64())
+        if pa.types.is_integer(keys.type):
+            h = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            h = np.array([hash_str(s) for s in keys.to_pylist()],
+                         dtype=np.int64)
+        return pa.table({key: keys, "cnt": cnts,
+                         "salt_": pa.array((h % salt).astype(np.int32))})
+
+    phase1 = (ds.map_batches(add_salt, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([key, "salt_"]).sum("cnt"))
+    phase2 = phase1.groupby(key).sum("sum(cnt)")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({key: t.column(key),
+                         alias: t.column("sum(sum(cnt))")})
+
+    return phase2.map_batches(rename, batch_format="pyarrow")
+
+
+def hash_str(s: str) -> int:
+    """Stable 63-bit string hash (process-independent, unlike hash())."""
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def degree_histogram(ds, key: str, num_buckets: int = 32) -> pa.Table:
+    """log2-bucketed histogram of group sizes — drives the decision of
+    WHEN to salt (SURVEY.md §4.2(2): salt keys whose count exceeds the
+    per-reducer budget)."""
+    counts = grouped_count(ds, key).to_pandas()["cnt"].to_numpy()
+    if len(counts) == 0:
+        return pa.table({"log2_bucket": pa.array([], pa.int32()),
+                         "num_keys": pa.array([], pa.int64())})
+    b = np.minimum(np.log2(np.maximum(counts, 1)).astype(np.int32),
+                   num_buckets - 1)
+    uk, c = np.unique(b, return_counts=True)
+    return pa.table({"log2_bucket": pa.array(uk, pa.int32()),
+                     "num_keys": pa.array(c.astype(np.int64))})
