@@ -57,6 +57,14 @@ def build_graph(
     if apply_url_filter:
         edges_ds = flt.url_filter(edges_ds)
 
+    # The edge stream is consumed 2-3x below (distinct, optional
+    # heavy-target counts, encode+write); materialize once so the
+    # upstream extraction/derivation isn't recomputed per pass.
+    # Blocks live in the object store and spill to disk beyond memory
+    # — at 100 TB you'd instead checkpoint the raw edge table to
+    # parquet here (same cost, durable), which this layout supports.
+    edges_ds = edges_ds.materialize()
+
     names = enc.distinct_nodes(edges_ds)
     n = len(names)
 

@@ -94,6 +94,15 @@ def test_triangles_duplicate_edges_deduped():
     assert got == {"a": 1, "b": 1, "c": 1}
 
 
+def test_triangles_partitioned_join_path_matches_broadcast():
+    """broadcast_threshold=0 forces the scale path (union + groupby
+    hash join); results must match the broadcast fast path exactly."""
+    edges, _ = component_fixture_edges()
+    fast = triangle_counts(from_arrow_edges(edges))
+    slow = triangle_counts(from_arrow_edges(edges), broadcast_threshold=0)
+    assert fast.to_pylist() == slow.to_pylist()
+
+
 def test_pagerank_checkpoint_resume_bit_identical(tmp_path):
     """F7: kill after k iterations, resume, bit-identical final ranks."""
     table, _ = generate_corpus(num_repos=2, files_per_repo=15)
