@@ -24,8 +24,18 @@ def main(argv=None) -> int:
     parser.add_argument("--max_iterations", type=int, default=1000)
     parser.add_argument("--epsilon", type=float, default=1e-6)
     parser.add_argument("--max_results", type=int, default=10)
+    parser.add_argument("--max_nnz", type=int, default=None,
+                        help="cap on edges read (reference S2, without "
+                             "its off-by-one)")
     parser.add_argument("--num_parts", type=int, default=8)
     parser.add_argument("--url_filter", action="store_true", default=True)
+    parser.add_argument("--boost", action="store_true",
+                        help="v2 search: synonym score boost "
+                             "(pagerank2.py:171-201)")
+    parser.add_argument("--power", type=int, default=30)
+    parser.add_argument("--s_weight", type=float, default=0.03)
+    parser.add_argument("--output_dir", default=None,
+                        help="write full ranks as partitioned parquet")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -38,8 +48,8 @@ def main(argv=None) -> int:
 
     from .functions.query import SynonymExpander, url_satisfies_query
     from .graph.build import build_graph
-    from .graph.pagerank import PageRankRunner
-    from .pipelines.search import format_results, search
+    from .graph.pagerank import PageRankRunner, write_ranks
+    from .pipelines.search import format_results, search, search_boosted
     from .sources.edge_csv import read_edge_csv
 
     expander = SynonymExpander()
@@ -51,7 +61,7 @@ def main(argv=None) -> int:
 
     with tempfile.TemporaryDirectory() as tmp:
         gdir = f"{tmp}/graph"
-        edges = read_edge_csv(args.data)
+        edges = read_edge_csv(args.data, max_edges=args.max_nnz)
         build_graph(edges, gdir, num_parts=args.num_parts,
                     apply_url_filter=args.url_filter,
                     filter_ratio=args.filter_ratio)
@@ -65,8 +75,16 @@ def main(argv=None) -> int:
                       f"residual={runner.final_residual:.4e}")
         finally:
             runner.close()
-        top = search(ranks, args.search_query, args.max_results,
-                     expander=expander)
+        if args.output_dir:
+            write_ranks(ranks, args.output_dir)
+        if args.boost:
+            top = search_boosted(ranks, args.search_query,
+                                 args.max_results, expander=expander,
+                                 s_weight=args.s_weight,
+                                 power=args.power)
+        else:
+            top = search(ranks, args.search_query, args.max_results,
+                         expander=expander)
         for line in format_results(top):
             print(line)
     ray.shutdown()

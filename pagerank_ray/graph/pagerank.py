@@ -173,6 +173,32 @@ class PageRankRunner:
         })
 
 
+def write_ranks(ranks: pa.Table, out_dir: str,
+                num_partitions: int = 16) -> None:
+    """Resumable ranks sink: one parquet file per id-range partition,
+    written atomically (tmp + rename) with a completion manifest —
+    a rerun skips partitions whose files already exist."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = ranks.num_rows
+    bounds = np.linspace(0, n, num_partitions + 1).astype(int)
+    written = []
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        if e <= s:
+            continue
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        if os.path.exists(path):
+            written.append(i)
+            continue
+        tmp = path + ".tmp"
+        pq.write_table(ranks.slice(s, e - s), tmp)
+        os.replace(tmp, path)
+        written.append(i)
+    gb._atomic_write_json(os.path.join(out_dir, "manifest.json"),
+                          {"rows": n, "partitions": written})
+
+
 def load_manifest(ckpt_dir: str) -> dict:
     with open(os.path.join(ckpt_dir, "manifest.json")) as f:
         return json.load(f)

@@ -139,3 +139,65 @@ def test_pagerank_checkpoint_resume_bit_identical(tmp_path):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k]  # BIT-identical, not just close
+
+
+def test_resume_on_different_worker_count(tmp_path):
+    """Checkpoints are per-SHARD: a run checkpointed with 2 workers
+    resumes on 3 workers (different cluster size) to the same ranks
+    within float round-off (reduction grouping changes)."""
+    import pytest
+
+    table, _ = generate_corpus(num_repos=2, files_per_repo=15)
+    edge_tbl = extract_edges_batch(table)
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edge_tbl), gdir, num_parts=6)
+
+    r0 = PageRankRunner(gdir, num_workers=2)
+    try:
+        full = {r["node"]: r["rank"] for r in r0.run().to_pylist()}
+    finally:
+        r0.close()
+
+    ck = str(tmp_path / "ck")
+    r1 = PageRankRunner(gdir, num_workers=2)
+    try:
+        r1.run(checkpoint_dir=ck, checkpoint_every=2, stop_after=4)
+    finally:
+        r1.close()
+    r2 = PageRankRunner(gdir, num_workers=3)
+    try:
+        resumed = {r["node"]: r["rank"]
+                   for r in r2.run(checkpoint_dir=ck,
+                                   resume=True).to_pylist()}
+    finally:
+        r2.close()
+    assert full.keys() == resumed.keys()
+    for k in full:
+        assert resumed[k] == pytest.approx(full[k], abs=1e-9)
+
+
+def test_write_ranks_resumable(tmp_path):
+    from pagerank_ray.graph.pagerank import write_ranks
+    import pyarrow.parquet as pq
+    import os
+
+    edges = small_graph_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=2)
+    r = PageRankRunner(gdir)
+    try:
+        ranks = r.run()
+    finally:
+        r.close()
+    out = str(tmp_path / "ranks")
+    write_ranks(ranks, out, num_partitions=3)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(files) == 3
+    # second write skips existing partitions (mtime unchanged)
+    before = [os.path.getmtime(os.path.join(out, f)) for f in files]
+    write_ranks(ranks, out, num_partitions=3)
+    after = [os.path.getmtime(os.path.join(out, f)) for f in files]
+    assert before == after
+    total = sum(pq.read_table(os.path.join(out, f)).num_rows
+                for f in files)
+    assert total == ranks.num_rows
