@@ -10,7 +10,6 @@ shim is the only module that owns a Ray session.
 from __future__ import annotations
 
 import argparse
-import math
 import tempfile
 
 

@@ -17,7 +17,7 @@ broadcast via ray.put instead of a shuffle join.
 
 from __future__ import annotations
 
-import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -3,7 +3,6 @@
 import hashlib
 
 import pyarrow as pa
-import pytest
 
 import ray.data as rd
 

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for scalar/batch functions."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pagerank_ray.functions.hashing import (MinHasher, hamming64, jaccard,
+                                            shingle_hashes, simhash64)
+from pagerank_ray.functions.query import (satisfies_query_batch,
+                                          url_satisfies_query)
+from pagerank_ray.functions.text import fingerprint64, token_count
+
+urls = st.text(alphabet="abcdef./-:_0123456789", min_size=0, max_size=40)
+terms = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6).map(
+        lambda s: s if len(s) % 2 else "-" + s),
+    min_size=0, max_size=5)
+
+
+@given(urls, terms)
+@settings(max_examples=200, deadline=None)
+def test_predicate_vectorized_equals_scalar(url, term_list):
+    query = " ".join(term_list)
+    scalar = url_satisfies_query(url, query)
+    vec = satisfies_query_batch(pa.array([url]), query).to_pylist()[0]
+    assert vec is scalar
+
+
+@given(urls)
+@settings(max_examples=100, deadline=None)
+def test_empty_query_always_matches(url):
+    assert url_satisfies_query(url, "") is True
+
+
+@given(urls, st.text(alphabet="abcdef", min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_negation_overrides(url, term):
+    # if a negated term is present in the url, result is always False
+    if term in url:
+        assert url_satisfies_query(url, f"xyzzy -{term}") is False
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_deterministic(text):
+    a = fingerprint64([text, text])
+    assert a[0] == a[1]
+    b = fingerprint64([text])
+    assert b[0] == a[0]
+
+
+@given(st.lists(st.text(alphabet="abc ", max_size=30), min_size=1,
+                max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_token_count_matches_python_split(texts):
+    got = token_count(pa.array(texts, pa.string())).to_pylist()
+    assert got == [len(t.split()) for t in texts]
+
+
+@given(st.text(alphabet="abcd efg", min_size=0, max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_simhash_identical_text_distance_zero(text):
+    a = simhash64(text)
+    b = simhash64(text)
+    assert hamming64(np.array([a]), np.array([b]))[0] == 0
+
+
+@given(st.integers(0, 2**30), st.integers(0, 2**30))
+@settings(max_examples=100, deadline=None)
+def test_hamming_symmetry(a, b):
+    x = np.array([a], dtype=np.uint64)
+    y = np.array([b], dtype=np.uint64)
+    assert hamming64(x, y)[0] == hamming64(y, x)[0]
+    assert hamming64(x, x)[0] == 0
+
+
+@given(st.lists(st.sampled_from(
+    ["alpha beta gamma delta", "alpha beta gamma epsilon",
+     "one two three four five", "alpha beta gamma delta epsilon"]),
+    min_size=2, max_size=2, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_minhash_estimates_jaccard(pair):
+    """128-perm MinHash estimate within 0.25 of exact Jaccard."""
+    mh = MinHasher(num_perm=128)
+    s0 = mh.signature(pair[0])
+    s1 = mh.signature(pair[1])
+    est = float(np.mean(s0 == s1))
+    a = np.sort(shingle_hashes(pair[0]))
+    b = np.sort(shingle_hashes(pair[1]))
+    exact = jaccard(a, b)
+    assert abs(est - exact) <= 0.25
