@@ -309,6 +309,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             query_ids=[0, 1, 2, 3, 4], k=10, nbits=8)
 
+    # ---- relational / stream-shaped ----
+
+    from pagerank_ray.pipelines.relational import (
+        asof_join_events_orders, broadcast_join_orders_customer,
+        windowed_event_agg)
+
+    def q_windowed_event_agg(sf_dir):
+        _quiet()
+        return windowed_event_agg(sf_dir, window_minutes=60)
+
+    def q_asof_join(sf_dir):
+        _quiet()
+        return asof_join_events_orders(sf_dir)
+
+    def q_broadcast_join(sf_dir):
+        _quiet()
+        return broadcast_join_orders_customer(sf_dir)
+
     # ---- multimodal (synthetic media; deterministic) ----
 
     def q_media_features(sf_dir):
@@ -344,6 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "windowed_event_agg": q_windowed_event_agg,
+        "asof_join_events_orders": q_asof_join,
+        "broadcast_join_orders_customer": q_broadcast_join,
         "media_features": q_media_features,
     }
 
@@ -379,7 +400,14 @@ _GRAMS = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerank_ray.pipelines.relational import (
+        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, WINDOWED_EVENT_AGG_SQL)
+
     return {
+        "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(
+            us=60 * 60_000_000),
+        "asof_join_events_orders": ASOF_JOIN_SQL,
+        "broadcast_join_orders_customer": BROADCAST_JOIN_SQL,
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

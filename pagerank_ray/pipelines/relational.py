@@ -1,0 +1,187 @@
+"""Relational / stream-shaped operators over the testdata tables.
+
+Ray Data has no event-time windows or watermark semantics; the engine
+follows the batch-log pattern (guide): treat ``events`` as an ordered
+partitioned log, implement windows as groupby(key).map_groups over
+the sorted group, keep every aggregate SQL-expressible so the driver
+oracle covers it.
+
+Operators:
+  windowed_event_agg  tumbling event-time window per event_type
+  asof_join_events_orders
+                      each event joined to the latest order of the
+                      same customer at-or-before the event time
+                      (bucketed merge_asof — the as-of pattern)
+  broadcast_join_orders_customer
+                      classic small-side broadcast hash join
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def windowed_event_agg(sf_dir: str, window_minutes: int = 60):
+    """Tumbling count/sum per (event_type, window).
+
+    Window key = floor(epoch_micros / window) — integral, so it hashes
+    identically in DuckDB. Partial aggregation inside map_batches
+    (combiner), then a small groupby — the window key is part of the
+    shuffle key so event-time skew spreads over windows.
+    """
+    us = np.int64(window_minutes) * 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        win = ts // us
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "win": win,
+            "value": t.column("value").to_numpy(),
+        })
+        g = (df.groupby(["event_type", "win"], sort=False)
+             .agg(cnt=("value", "size"), val_sum=("value", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "win"])
+           .sum(["cnt", "val_sum"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        # val_sum rounded to 2 decimals: inputs have 2 decimals, so
+        # both engines' float sums agree to ~1e-12 and round to the
+        # same representable double (cross-engine hash parity)
+        vs = np.round(t.column("sum(val_sum)").to_numpy(), 2)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "win": t.column("win"),
+            "cnt": t.column("sum(cnt)"),
+            "val_sum": pa.array(vs),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+WINDOWED_EVENT_AGG_SQL = """
+    SELECT event_type,
+           epoch_us(ts) // {us} AS win,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS val_sum
+    FROM events GROUP BY 1, 2
+"""
+
+
+def asof_join_events_orders(sf_dir: str):
+    """(event_id, o_orderkey): latest order of customer=user_id with
+    o_orderdate <= event ts; events with no such order are dropped.
+
+    Pattern: bucket both sides by the join key hash, sort within
+    buckets, pd.merge_asof per bucket (guide's as-of recipe). The
+    order side is small here so buckets are built from a broadcast
+    table; at scale both sides bucket through a groupby shuffle.
+    """
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"],
+                                kind="stable")
+    oref = ray.put(orders)
+
+    class AsOf:
+        def __init__(self, oref):
+            odf = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+            self.by_cust = {k: g for k, g in odf.groupby("o_custkey")}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ev = t.to_pandas()
+            out_e, out_o = [], []
+            for cust, g in ev.groupby("user_id"):
+                odf = self.by_cust.get(cust)
+                if odf is None:
+                    continue
+                g = g.sort_values(["ts", "event_id"], kind="stable")
+                m = pd.merge_asof(
+                    g[["event_id", "ts"]],
+                    odf[["o_orderdate", "o_orderkey"]],
+                    left_on="ts", right_on="o_orderdate",
+                    direction="backward")
+                m = m.dropna(subset=["o_orderkey"])
+                out_e.extend(m["event_id"].tolist())
+                out_o.extend(m["o_orderkey"].astype(np.int64).tolist())
+            return pa.table({
+                "event_id": pa.array(out_e, pa.int64()),
+                "o_orderkey": pa.array(out_o, pa.int64()),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return ds.map_batches(AsOf, fn_constructor_args=(oref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+ASOF_JOIN_SQL = """
+    SELECT e.event_id,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+               AS o_orderkey
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.user_id
+                    AND o.o_orderdate <= e.ts)
+"""
+
+
+def broadcast_join_orders_customer(sf_dir: str):
+    """orders ⋈ customer on custkey — small side broadcast via
+    ray.put, vectorized Arrow index_in lookup per batch (no shuffle)."""
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust_tbl = pa.Table.from_pandas(cust.to_pandas(),
+                                    preserve_index=False)
+    cref = ray.put(cust_tbl)
+
+    class Join:
+        def __init__(self, cref):
+            t = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            self.keys = t.column("c_custkey").combine_chunks()
+            self.name = t.column("c_name").combine_chunks()
+            self.seg = t.column("c_mktsegment").combine_chunks()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
+            out = pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "c_name": pc.take(self.name, idx),
+                "c_mktsegment": pc.take(self.seg, idx),
+            })
+            # inner-join semantics: drop unmatched orders
+            return out.filter(pc.is_valid(idx))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    return ds.map_batches(Join, fn_constructor_args=(cref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+BROADCAST_JOIN_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
