@@ -121,7 +121,8 @@ class ShardState:
 
 @ray.remote
 class GraphWorker:
-    def __init__(self, graph_dir: str, shard_ids: list[int], meta: dict):
+    def __init__(self, graph_dir: str, shard_ids: list[int], meta: dict,
+                 all_groups: list[list[int]] | None = None):
         self.meta = meta
         self.P = int(meta["num_parts"])
         self.n = int(meta["n"])
@@ -129,6 +130,13 @@ class GraphWorker:
         self.shards = [ShardState(graph_dir, j, meta)
                        for j in self.shard_ids]
         self.offs = seg_offsets(self.n, self.P)
+        # worker-group boundaries in concat space (contiguous shard
+        # ranges -> contiguous segments), for the "split" exchange
+        self.group_bounds = None
+        if all_groups is not None:
+            self.group_bounds = [
+                (int(self.offs[g[0]]), int(self.offs[g[-1] + 1]))
+                for g in all_groups]
         self.alpha = 0.85
         self._concat_buf = None
         self._int_buf = None
@@ -194,6 +202,40 @@ class GraphWorker:
             acc = q_scalar * sh.v
             for p in arrays:
                 acc = acc + p[lo:hi]
+            sh.x_unnorm = acc
+            ss += float(acc @ acc)
+            dot += float(acc @ sh.a)
+        return ss, dot
+
+    # --- "split" exchange: per-destination-worker objects -----------
+    #
+    # Same math as the concat exchange, but the round payload is cut
+    # into one object PER DESTINATION WORKER (worker groups own
+    # contiguous shard ranges -> contiguous concat segments), so a
+    # multi-node object store ships only the bytes each node needs
+    # (n/A per pair) instead of pulling whole concat arrays (n per
+    # pair). Locally the concat mode wins (zero-copy slicing, fewer
+    # objects); select with PageRankRunner.run(exchange=...).
+
+    def pr_step1_split(self, s: float):
+        resid, buf = self.pr_step1(s)
+        out = [resid]
+        for lo, hi in self.group_bounds:
+            out.append(buf[lo:hi].copy())
+        return tuple(out)
+
+    def pr_step2_split(self, chunk_refs, q_scalar: float):
+        chunks = ray.get(list(chunk_refs)) if chunk_refs and \
+            isinstance(chunk_refs[0], ray.ObjectRef) else chunk_refs
+        base = int(self.offs[self.shard_ids[0]])
+        ss = 0.0
+        dot = 0.0
+        for sh in self.shards:
+            lo = int(self.offs[sh.part]) - base
+            hi = int(self.offs[sh.part + 1]) - base
+            acc = q_scalar * sh.v
+            for c in chunks:
+                acc = acc + c[lo:hi]
             sh.x_unnorm = acc
             ss += float(acc @ acc)
             dot += float(acc @ sh.a)
@@ -355,7 +397,7 @@ def create_workers(graph_dir: str, meta: dict | None = None,
     groups = shard_groups(P, num_workers)
     workers = [
         GraphWorker.options(num_cpus=num_cpus_per_worker).remote(
-            graph_dir, g, meta)
+            graph_dir, g, meta, groups)
         for g in groups]
     return workers, meta
 

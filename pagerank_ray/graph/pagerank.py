@@ -68,6 +68,7 @@ class PageRankRunner:
         checkpoint_every: int = 0,
         resume: bool = False,
         stop_after: int | None = None,
+        exchange: str = "concat",
     ) -> pa.Table | None:
         """Run to convergence; returns (id, node, rank) sorted by id.
 
@@ -108,9 +109,14 @@ class PageRankRunner:
                 ranks_valid = False
                 break
 
-            step1_refs = [
-                w.pr_step1.options(num_returns=2).remote(s_norm)
-                for w in W]
+            if exchange == "split":
+                step1_refs = [
+                    w.pr_step1_split.options(num_returns=A + 1)
+                    .remote(s_norm) for w in W]
+            else:
+                step1_refs = [
+                    w.pr_step1.options(num_returns=2).remote(s_norm)
+                    for w in W]
             resid_parts = ray.get([step1_refs[j][0] for j in range(A)])
             if resid_parts[0] >= 0.0:
                 residual = math.sqrt(sum(resid_parts))
@@ -121,9 +127,15 @@ class PageRankRunner:
                 break
 
             q = alpha * dot + (1.0 - alpha)
-            concat_refs = [step1_refs[j][1] for j in range(A)]
-            ss_dot = ray.get([
-                w.pr_step2.remote(concat_refs, q) for w in W])
+            if exchange == "split":
+                ss_dot = ray.get([
+                    W[k].pr_step2_split.remote(
+                        [step1_refs[j][k + 1] for j in range(A)], q)
+                    for k in range(A)])
+            else:
+                concat_refs = [step1_refs[j][1] for j in range(A)]
+                ss_dot = ray.get([
+                    w.pr_step2.remote(concat_refs, q) for w in W])
             s_norm = math.sqrt(sum(p[0] for p in ss_dot))
             dot = sum(p[1] for p in ss_dot) / s_norm
             it += 1

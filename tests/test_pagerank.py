@@ -60,6 +60,28 @@ def test_partition_count_invariance(tmp_path, num_parts):
         assert got[node] == pytest.approx(want, abs=1e-6)
 
 
+def test_split_exchange_bit_identical(tmp_path):
+    """exchange='split' (per-destination-worker objects, the
+    multi-node data plane) must produce bit-identical ranks."""
+    edges = small_graph_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4)
+    r1 = PageRankRunner(gdir, num_workers=2)
+    try:
+        a = r1.run(exchange="concat")
+        it_a = r1.iterations_run
+    finally:
+        r1.close()
+    r2 = PageRankRunner(gdir, num_workers=2)
+    try:
+        b = r2.run(exchange="split")
+        it_b = r2.iterations_run
+    finally:
+        r2.close()
+    assert it_a == it_b
+    assert a.column("rank").to_pylist() == b.column("rank").to_pylist()
+
+
 def test_corpus_pagerank_with_duplicates_and_dangling(tmp_path):
     """Synth corpus (dup imports, dangling refs, heavy menu file)."""
     table, expected = generate_corpus(num_repos=2, files_per_repo=18)
