@@ -7,6 +7,12 @@ window, which is the DuckDB oracle for the driver contract.
 
 Node names are stringified user ids so the graph layer's string node
 model applies unchanged.
+
+Scale note: groupby(event_type) gives one group per type — fine here
+(5 types), but at 100 TB the derivation partitions by
+(event_type, time_bucket) so groups parallelize, with one extra pass
+joining each bucket's last event to the next bucket's first (the only
+cross-boundary pair). The per-group sort is the same either way.
 """
 
 from __future__ import annotations
