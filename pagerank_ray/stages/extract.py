@@ -35,6 +35,12 @@ _PY_FROM = re.compile(r"^\s*from\s+([\w\.]+)\s+import\s+(\w+)", re.M)
 _C_INCLUDE = re.compile(r'^\s*#\s*include\s+"([^"]+)"', re.M)
 _JS_REQUIRE = re.compile(r"""require\(\s*['"]([^'"]+)['"]\s*\)""")
 _JS_IMPORT = re.compile(r"""^\s*import\s+.*?\bfrom\s+['"]([^'"]+)['"]""", re.M)
+_GO_IMPORT = re.compile(r'^\s*import\s+"([^"]+)"', re.M)
+_GO_BLOCK = re.compile(r"^\s*import\s*\(([^)]*)\)", re.M | re.S)
+_GO_QUOTED = re.compile(r'"([^"]+)"')
+_RUST_USE = re.compile(r"^\s*use\s+crate::([\w:]+)\s*;", re.M)
+_RUST_MOD = re.compile(r"^\s*mod\s+(\w+)\s*;", re.M)
+_JAVA_IMPORT = re.compile(r"^\s*import\s+([\w\.]+)\s*;", re.M)
 
 
 def _resolve_js(spec: str) -> str:
@@ -44,20 +50,66 @@ def _resolve_js(spec: str) -> str:
     return p
 
 
+def _extract_python(content: str) -> list[str]:
+    out = [m.replace(".", "/") + ".py"
+           for m in _PY_IMPORT.findall(content)]
+    out.extend((head + "." + tail).replace(".", "/") + ".py"
+               for head, tail in _PY_FROM.findall(content))
+    return out
+
+
+def _extract_c(content: str) -> list[str]:
+    return _C_INCLUDE.findall(content)
+
+
+def _extract_javascript(content: str) -> list[str]:
+    out = [_resolve_js(s) for s in _JS_REQUIRE.findall(content)]
+    out.extend(_resolve_js(s) for s in _JS_IMPORT.findall(content))
+    return out
+
+
+def _extract_go(content: str) -> list[str]:
+    out = [s + ".go" for s in _GO_IMPORT.findall(content)]
+    for block in _GO_BLOCK.findall(content):
+        out.extend(s + ".go" for s in _GO_QUOTED.findall(block))
+    return out
+
+
+def _extract_rust(content: str) -> list[str]:
+    out = [m.replace("::", "/") + ".rs"
+           for m in _RUST_USE.findall(content)]
+    out.extend(m + ".rs" for m in _RUST_MOD.findall(content))
+    return out
+
+
+def _extract_java(content: str) -> list[str]:
+    return [m.replace(".", "/") + ".java"
+            for m in _JAVA_IMPORT.findall(content)]
+
+
+# The user-extension surface (SURVEY.md §2.9): lang -> extractor fn.
+# Register a new language with register_extractor("kotlin", fn) and
+# every corpus pipeline picks it up — the fn is pure (content ->
+# target paths) so it ships to stateless map_batches tasks unchanged.
+EXTRACTORS: dict[str, "callable"] = {
+    "python": _extract_python,
+    "c": _extract_c,
+    "javascript": _extract_javascript,
+    "go": _extract_go,
+    "rust": _extract_rust,
+    "java": _extract_java,
+}
+
+
+def register_extractor(lang: str, fn) -> None:
+    """Register/override the import extractor for a language."""
+    EXTRACTORS[lang] = fn
+
+
 def extract_targets(lang: str, content: str) -> list[str]:
     """All referenced target paths in one file (duplicates preserved)."""
-    out: list[str] = []
-    if lang == "python":
-        for m in _PY_IMPORT.findall(content):
-            out.append(m.replace(".", "/") + ".py")
-        for head, tail in _PY_FROM.findall(content):
-            out.append((head + "." + tail).replace(".", "/") + ".py")
-    elif lang == "c":
-        out.extend(_C_INCLUDE.findall(content))
-    elif lang == "javascript":
-        out.extend(_resolve_js(s) for s in _JS_REQUIRE.findall(content))
-        out.extend(_resolve_js(s) for s in _JS_IMPORT.findall(content))
-    return out
+    fn = EXTRACTORS.get(lang)
+    return fn(content) if fn else []
 
 
 def extract_edges_batch(batch: pa.Table) -> pa.Table:

@@ -27,6 +27,36 @@ def test_extract_targets_js():
     assert extract_targets("javascript", content) == ["x/y.js", "p/q.js"]
 
 
+def test_extract_targets_go():
+    content = ('import "a/b"\n'
+               'import (\n  "c/d"\n  "e/f"\n)\nfunc main() {}\n')
+    assert extract_targets("go", content) == ["a/b.go", "c/d.go", "e/f.go"]
+
+
+def test_extract_targets_rust():
+    content = "use crate::a::b;\nmod util;\nfn main() {}\n"
+    assert extract_targets("rust", content) == ["a/b.rs", "util.rs"]
+
+
+def test_extract_targets_java():
+    content = "import a.b.Cls;\nclass X {}\n"
+    assert extract_targets("java", content) == ["a/b/Cls.java"]
+
+
+def test_register_extractor():
+    from pagerank_ray.stages.extract import register_extractor
+    try:
+        register_extractor("kotlin",
+                           lambda c: ["k/" + w + ".kt"
+                                      for w in c.split() if w.isalpha()])
+        assert extract_targets("kotlin", "foo bar") == \
+            ["k/foo.kt", "k/bar.kt"]
+    finally:
+        from pagerank_ray.stages.extract import EXTRACTORS
+        EXTRACTORS.pop("kotlin", None)
+    assert extract_targets("unknown_lang", "import x") == []
+
+
 def test_corpus_edges_match_expected():
     table, expected = generate_corpus(num_repos=2, files_per_repo=15)
     got = extract_edges_batch(table)

@@ -102,6 +102,20 @@ def test_corpus_pagerank_with_duplicates_and_dangling(tmp_path):
         assert got[node] == pytest.approx(want, abs=1e-6)
 
 
+def test_pagerank_dataset_variant_matches_oracle():
+    """Pure-Dataset rounds (SURVEY §7 step 3) match the oracle and the
+    actor engine."""
+    from pagerank_ray.graph.pagerank_dataset import pagerank_dataset
+
+    edges = small_graph_edges()
+    tbl, iters = pagerank_dataset(edges, alpha=0.85, epsilon=1e-6)
+    got = {r["node"]: r["rank"] for r in tbl.to_pylist()}
+    oracle, it_oracle = pagerank_oracle(_edge_pairs(edges))
+    assert iters == it_oracle == 24
+    for node, want in oracle.items():
+        assert got[node] == pytest.approx(want, abs=1e-6)
+
+
 def test_filter_ratio_and_alpha_sweep(tmp_path):
     """J2 + non-default alpha against the oracle on the corpus graph."""
     table, _ = generate_corpus(num_repos=2, files_per_repo=15)
