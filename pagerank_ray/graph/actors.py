@@ -322,10 +322,14 @@ class GraphWorker:
 
     def lpa_step1(self):
         """(key = concat_dst_slot * n + label, count) partials,
-        pre-aggregated across owned shards (combiner before shuffle).
+        pre-aggregated across owned shards (combiner before shuffle)
+        and SPLIT per destination worker (np.unique output is sorted,
+        so the split is a searchsorted on the slot-space bounds) —
+        each destination merges only the keys addressed to it.
 
         Key packing bounds n^2 < 2^63 (document: switch to structured
-        keys beyond ~3e9 nodes)."""
+        keys beyond ~3e9 nodes). Returns a tuple of (uk, cnt) pairs,
+        one per destination worker (num_returns = A)."""
         keys = []
         for sh in self.shards:
             if len(sh.src_local) == 0:
@@ -333,11 +337,19 @@ class GraphWorker:
             lab = sh.labels[sh.src_local]
             tgt = sh.offs[sh.dst_part] + sh.dst_local
             keys.append(tgt.astype(np.int64) * self.n + lab)
-        if not keys:
-            return (np.empty(0, np.int64), np.empty(0, np.int64))
-        key = np.concatenate(keys)
-        uk, cnt = np.unique(key, return_counts=True)
-        return uk, cnt.astype(np.int64)
+        if keys:
+            key = np.concatenate(keys)
+            uk, cnt = np.unique(key, return_counts=True)
+            cnt = cnt.astype(np.int64)
+        else:
+            uk = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        out = []
+        for lo, hi in self.group_bounds:
+            i0 = np.searchsorted(uk, np.int64(lo) * self.n)
+            i1 = np.searchsorted(uk, np.int64(hi) * self.n)
+            out.append((uk[i0:i1], cnt[i0:i1]))
+        return tuple(out) if len(out) > 1 else out[0]
 
     def lpa_step2(self, partial_refs) -> int:
         pairs = ray.get(list(partial_refs)) if partial_refs and \

@@ -30,13 +30,15 @@ from .actors import create_workers, kill_workers
 
 
 def connected_components(graph_dir: str, max_rounds: int = 10_000,
-                         workers=None) -> pa.Table:
+                         workers=None,
+                         num_workers: int | None = None) -> pa.Table:
     """Returns (id, node, label) sorted by id; label = min id in component."""
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "connected_components requires a graph built with undirected=True"
     own = workers is None
-    W = workers or create_workers(graph_dir, meta)[0]
+    W = workers or create_workers(graph_dir, meta,
+                                  num_workers=num_workers)[0]
     A = len(W)
     try:
         ray.get([w.cc_init.remote() for w in W])

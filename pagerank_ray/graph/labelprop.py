@@ -33,11 +33,18 @@ def label_propagation(graph_dir: str, rounds: int = 10,
         "label_propagation requires a graph built with undirected=True"
     own = workers is None
     W = workers or create_workers(graph_dir, meta)[0]
+    A = len(W)
     try:
         ray.get([w.lpa_init.remote() for w in W])
         for _ in range(rounds):
-            refs = [w.lpa_step1.remote() for w in W]
-            ray.get([w.lpa_step2.remote(refs) for w in W])
+            if A == 1:
+                refs = [w.lpa_step1.remote() for w in W]
+                ray.get([W[0].lpa_step2.remote(refs)])
+            else:
+                refs = [w.lpa_step1.options(num_returns=A).remote()
+                        for w in W]
+                ray.get([W[k].lpa_step2.remote(
+                    [refs[j][k] for j in range(A)]) for k in range(A)])
             ray.get([w.lpa_commit.remote() for w in W])
         return collect_labels(W)
     finally:
