@@ -27,7 +27,9 @@ def main(argv=None) -> int:
                         help="cap on edges read (reference S2, without "
                              "its off-by-one)")
     parser.add_argument("--num_parts", type=int, default=8)
-    parser.add_argument("--url_filter", action="store_true", default=True)
+    parser.add_argument("--url_filter", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="M1 regex filter (disable: --no-url_filter)")
     parser.add_argument("--boost", action="store_true",
                         help="v2 search: synonym score boost "
                              "(pagerank2.py:171-201)")

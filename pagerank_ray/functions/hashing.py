@@ -15,6 +15,35 @@ import numpy as np
 MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
+def _m61_reduce(y: np.ndarray) -> np.ndarray:
+    """y mod M61 for y < 2^64, via the Mersenne identity 2^61 ≡ 1."""
+    y = (y >> np.uint64(61)) + (y & MERSENNE61)
+    return np.where(y >= MERSENNE61, y - MERSENNE61, y)
+
+
+def _mulmod_m61(a: np.ndarray, h: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·h + b) mod M61 without uint64 overflow (a < 2^61, h < 2^32).
+
+    Split a = a_hi·2^32 + a_lo: a·h = a_hi·h·2^32 + a_lo·h, with
+    a_hi·h < 2^61 and a_lo·h < 2^64 both representable; the ·2^32
+    term reduces via 2^61 ≡ 1 (mod M61). A naive (a*h+b) % M61 in
+    uint64 silently wraps mod 2^64 first and is NOT the universal
+    hash family.
+    """
+    a = a.astype(np.uint64)
+    h = h.astype(np.uint64)
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    t = a_hi * h                                   # < 2^61
+    # t·2^32 mod M61 = (t >> 29) + ((t & (2^29-1)) << 32)  (mod M61)
+    hi_term = (t >> np.uint64(29)) + \
+        ((t & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    hi_term = _m61_reduce(hi_term)
+    lo_term = _m61_reduce(a_lo * h)
+    out = _m61_reduce(hi_term + lo_term)
+    return _m61_reduce(out + b.astype(np.uint64))
+
+
 def word_shingles(text: str, n: int = 3) -> list[str]:
     """Whitespace word n-grams joined by single spaces (DuckDB-parity:
     string_split_regex(text,'\\s+') n-grams)."""
@@ -51,9 +80,7 @@ class MinHasher:
         h = shingle_hashes(text, self.n)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # (num_perm, n_shingles) — fine for documents; chunk if huge
-            m = (self.a[:, None] * h[None, :] + self.b[:, None]) % MERSENNE61
+        m = _mulmod_m61(self.a[:, None], h[None, :], self.b[:, None])
         return m.min(axis=1)
 
     def __call__(self, batch):

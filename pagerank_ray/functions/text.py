@@ -29,7 +29,19 @@ STOPWORDS_EN = LANG_STOPWORDS["en"]
 
 
 def _word_alternation(words: tuple[str, ...]) -> str:
-    return r"\b(" + "|".join(words) + r")\b"
+    """Alternation pattern with word boundaries for ASCII words only —
+    RE2's \\b is ASCII-defined, so wrapping CJK stopwords in \\b makes
+    them unmatchable; non-ASCII words match as plain substrings."""
+    import re as _re
+
+    ascii_words = [w for w in words if w.isascii()]
+    other = [_re.escape(w) for w in words if not w.isascii()]
+    parts = []
+    if ascii_words:
+        parts.append(r"\b(" + "|".join(ascii_words) + r")\b")
+    if other:
+        parts.append("(" + "|".join(other) + ")")
+    return "|".join(parts)
 
 
 STOPWORD_PATTERN = _word_alternation(STOPWORDS_EN)

@@ -70,17 +70,17 @@ class ShardState:
         src_local = src // P
         order = np.argsort(src_local, kind="stable")
         self.src_local = src_local[order]
-        self.dst = dst[order]
+        dst = dst[order]
         self.indptr = np.searchsorted(self.src_local,
                                       np.arange(self.n_local + 1))
 
         outdeg = np.bincount(self.src_local, minlength=self.n_local)
         self.outdeg = outdeg
         inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
-        self.weight = inv[self.src_local]
+        weight = inv[self.src_local]
 
-        self.dst_part = (self.dst % P).astype(np.int64)
-        self.dst_local = self.dst // P
+        self.dst_part = (dst % P).astype(np.int64)
+        self.dst_local = dst // P
 
         offs = seg_offsets(self.n, P)
         self.offs = offs
@@ -89,13 +89,14 @@ class ShardState:
         # bytes/edge of memory traffic in the bandwidth-bound SpMV
         idx_t = np.int32 if self.n < 2**31 else np.int64
         self.pr_src = self.src_local[psort].astype(idx_t)
-        self.pr_w = self.weight[psort]
+        self.pr_w = weight[psort]
         self.pr_aw = None  # alpha * pr_w, filled at pr_init
         self.dst_concat = (offs[self.dst_part[psort]]
                            + self.dst_local[psort]).astype(idx_t)
-        self.dbounds = np.searchsorted(self.dst_part[psort],
-                                       np.arange(P + 1))
-        self.psort = psort
+        # init-only temporaries (weight, psort, raw dst) are NOT kept:
+        # per-edge arrays retained for an actor's lifetime are exactly
+        # src_local/indptr (frontier), dst_part/dst_local (CC/LPA),
+        # pr_src/pr_w/dst_concat (PageRank)
 
         self.a = np.ones(self.n_local, dtype=np.float64)
         self.a[outdeg > 0] = 0.0

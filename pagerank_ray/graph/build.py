@@ -95,6 +95,15 @@ def build_graph(
 
     os.makedirs(graph_dir, exist_ok=True)
     edges_dir = os.path.join(graph_dir, "edges")
+    # clean any previous build: write_parquet ADDS uniquely-named files,
+    # so a rebuild into a reused dir would silently merge stale edges
+    import shutil
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    for f in ("nodes.parquet", "meta.json"):
+        try:
+            os.remove(os.path.join(graph_dir, f))
+        except FileNotFoundError:
+            pass
     partitioned.write_parquet(edges_dir, partition_cols=["part"])
 
     pq.write_table(enc.nodes_table(names),
@@ -137,6 +146,8 @@ def build_graph_from_ids(
                             np.concatenate([dst_ids, src_ids]))
     os.makedirs(graph_dir, exist_ok=True)
     edges_dir = os.path.join(graph_dir, "edges")
+    import shutil
+    shutil.rmtree(edges_dir, ignore_errors=True)  # no stale-part merges
     part = (src_ids % num_parts).astype(np.int32)
     order = np.argsort(part, kind="stable")
     bounds = np.searchsorted(part[order], np.arange(num_parts + 1))

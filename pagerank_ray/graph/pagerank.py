@@ -188,27 +188,46 @@ class PageRankRunner:
 def write_ranks(ranks: pa.Table, out_dir: str,
                 num_partitions: int = 16) -> None:
     """Resumable ranks sink: one parquet file per id-range partition,
-    written atomically (tmp + rename) with a completion manifest —
-    a rerun skips partitions whose files already exist."""
+    written atomically (tmp + rename) with a completion manifest.
+
+    A rerun of the SAME result (manifest fingerprint matches) skips
+    partitions whose files already exist; DIFFERENT content into a
+    reused dir wipes the stale partitions first, so the directory can
+    never hold a mix of two runs' outputs."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     n = ranks.num_rows
+    fp = hashlib.sha256(
+        ranks.column("rank").combine_chunks().to_numpy().tobytes()
+    ).hexdigest()
+    man_path = os.path.join(out_dir, "manifest.json")
+    same_run = False
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        same_run = old.get("fingerprint") == fp
+    if not same_run:
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet") or f.endswith(".tmp"):
+                os.remove(os.path.join(out_dir, f))
     bounds = np.linspace(0, n, num_partitions + 1).astype(int)
     written = []
     for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
         if e <= s:
             continue
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        if os.path.exists(path):
+        if same_run and os.path.exists(path):
             written.append(i)
             continue
         tmp = path + ".tmp"
         pq.write_table(ranks.slice(s, e - s), tmp)
         os.replace(tmp, path)
         written.append(i)
-    gb._atomic_write_json(os.path.join(out_dir, "manifest.json"),
-                          {"rows": n, "partitions": written})
+    gb._atomic_write_json(man_path, {"rows": n, "partitions": written,
+                                     "fingerprint": fp})
 
 
 def load_manifest(ckpt_dir: str) -> dict:

@@ -200,6 +200,10 @@ def _close_broadcast(oriented, names, n: int,
     edge set once via ray.put, fan the wedge generation out as Ray
     tasks over a-boundary-aligned chunks, merge dense partials."""
     df = oriented.select_columns(["a", "b", "kb"]).to_pandas()
+    if len(df) == 0:  # edgeless after dedup (e.g. only self-loops)
+        return pa.table({"node": names,
+                         "tri_count": pa.array(
+                             np.zeros(n, dtype=np.int64))})
     df = df.sort_values("a", kind="stable")
     ea = df["a"].to_numpy()
     eb = df["b"].to_numpy()

@@ -38,9 +38,14 @@ def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
     hash parity (None = raw)."""
     ds = _to_ds(embs)
     qset = sorted(query_ids)
+    qs = set(qset)
 
     q_rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-              for r in ds.take_all() if r["vec_id"] in set(qset)}
+              for r in ds.take_all() if r["vec_id"] in qs}
+    missing = qs - q_rows.keys()
+    if missing:
+        raise ValueError(f"query_ids not found in dataset: "
+                         f"{sorted(missing)}")
     qmat = _normalize(np.stack([q_rows[i] for i in qset]))
     qids = np.array(qset, dtype=np.int64)
     qref = ray.put((qids, qmat))
@@ -139,8 +144,11 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                 (r["vec_id"], np.asarray(r["embedding"], np.float64)))
     probe_ref = ray.put(probe)
 
-    def per_bucket(g: pd.DataFrame, probe=None) -> pd.DataFrame:
-        p = probe
+    def per_bucket(g: pd.DataFrame, probe_ref=None) -> pd.DataFrame:
+        # broadcast: fetch once per worker process via the object store
+        # (a closure-captured dict would reserialize with every task)
+        p = ray.get(probe_ref) if isinstance(
+            probe_ref, ray.ObjectRef) else probe_ref
         b = int(g["bucket"].iloc[0])
         if b not in p:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
@@ -162,9 +170,8 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                              "cos_sim": out_s})
 
     import functools
-    probe_local = ray.get(probe_ref)
     cand = bucketed.groupby("bucket").map_groups(
-        functools.partial(per_bucket, probe=probe_local),
+        functools.partial(per_bucket, probe_ref=probe_ref),
         batch_format="pandas")
     df = cand.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
     df = df.sort_values(["query_id", "cos_sim", "neighbor_id"],

@@ -67,6 +67,62 @@ def test_triangles_no_triangles():
     assert all(r["tri_count"] == 0 for r in out.to_pylist())
 
 
+def test_triangles_all_self_loops():
+    rows = [("a", "a"), ("b", "b")]
+    out = triangle_counts(from_arrow_edges(_edges(rows)))
+    assert all(r["tri_count"] == 0 for r in out.to_pylist())
+
+
+def test_rebuild_into_same_dir_no_stale_edges(tmp_path):
+    """A rebuild with a filter must not merge the previous build's
+    edge files (write_parquet adds uniquely-named files)."""
+    from pagerank_ray.graph.build import read_meta
+
+    rows = [("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+            ("h", "a"), ("a", "b")]
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(_edges(rows)), gdir, num_parts=2)
+    assert read_meta(gdir)["num_edges"] == 6
+    build_graph(from_arrow_edges(_edges(rows)), gdir, num_parts=2,
+                filter_ratio=0.5)
+    assert read_meta(gdir)["num_edges"] == 2  # only (h,a) and (a,b)
+
+
+def test_write_ranks_rewrites_on_different_content(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pagerank_ray.graph.pagerank import write_ranks
+
+    rows = [("a", "b"), ("b", "a")]
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(_edges(rows)), gdir, num_parts=2)
+    r1 = pagerank(gdir, alpha=0.85)
+    r2 = pagerank(gdir, alpha=0.5)
+    out = str(tmp_path / "ranks")
+    write_ranks(r1, out, num_partitions=2)
+    write_ranks(r2, out, num_partitions=2)  # different content: rewrite
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    got = pa.concat_tables([pq.read_table(os.path.join(out, f))
+                            for f in files])
+    assert sorted(got.column("rank").to_pylist()) == \
+        sorted(r2.column("rank").to_pylist())
+
+
+def test_knn_missing_query_raises():
+    import pytest as _pytest
+
+    from pagerank_ray.pipelines.similarity import knn_bruteforce
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    })
+    with _pytest.raises(ValueError, match="999"):
+        knn_bruteforce(t, query_ids=[0, 999], k=1)
+
+
 def test_more_workers_than_shards(tmp_path):
     """num_workers > P must not break (groups cap at P)."""
     rows = [("a", "b"), ("b", "a")]

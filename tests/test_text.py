@@ -46,10 +46,11 @@ def test_langid():
         "el perro y la casa de los vecinos en un día",
         "le chat est dans les maisons et une de des",
         "qqq www zzz",
+        "我的书是好的和不错的",  # CJK: \b-free matching (RE2 \b is ASCII)
     ])
     out = LangId()(t)
     preds = out.column("lang_pred").to_pylist()
-    assert preds == ["en", "es", "fr", "und"]
+    assert preds == ["en", "es", "fr", "und", "zh"]
 
 
 def test_fingerprint_deterministic_and_distinct():
