@@ -214,6 +214,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pagerank(gdir, alpha=0.85, epsilon=1e-6)
         return t.select(["node", "rank"])
 
+    def q_personalized_pagerank_events(sf_dir):
+        """J3: personalization restricted to nodes containing '1'."""
+        _quiet()
+        from pagerank_ray.functions.query import url_satisfies_query
+        from pagerank_ray.graph.pagerank import pagerank
+        gdir = _events_graph(sf_dir)
+        t = pagerank(gdir, alpha=0.85, epsilon=1e-6,
+                     v_indicator=lambda nm: url_satisfies_query(nm, "1"))
+        return t.select(["node", "rank"])
+
+    def q_search_events(sf_dir):
+        """T2 filtered top-k over the events PageRank ('1 -3')."""
+        _quiet()
+        from pagerank_ray.graph.pagerank import pagerank
+        from pagerank_ray.pipelines.search import search
+        gdir = _events_graph(sf_dir)
+        ranks = pagerank(gdir, alpha=0.85, epsilon=1e-6)
+        top = search(ranks, "1 -3", max_results=10, expand=False)
+        return top.select(["node"])
+
     def q_connected_components_events(sf_dir):
         _quiet()
         from pagerank_ray.graph.components import connected_components
@@ -348,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_topk_events": q_filtered_topk_events,
         "sha256_documents": q_sha256_documents,
         "pagerank_events": q_pagerank_events,
+        "personalized_pagerank_events": q_personalized_pagerank_events,
+        "search_events": q_search_events,
         "connected_components_events": q_connected_components_events,
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
