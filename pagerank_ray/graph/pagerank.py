@@ -69,6 +69,7 @@ class PageRankRunner:
         resume: bool = False,
         stop_after: int | None = None,
         exchange: str = "concat",
+        max_restarts: int = 0,
     ) -> pa.Table | None:
         """Run to convergence; returns (id, node, rank) sorted by id.
 
@@ -76,7 +77,51 @@ class PageRankRunner:
         iterations WITHOUT convergence — fault injection for the
         resume test (FIXTURES.md F7); returns None in that case.
         ``resume=True`` continues from the manifest in checkpoint_dir.
+
+        ``max_restarts`` > 0 (requires checkpoint_dir): on a worker
+        actor death the pool is rebuilt — each worker reloads its
+        shards from the graph parquet — and the run continues from the
+        last committed checkpoint (the north_rule retry-with-state
+        path: actor death => re-read shard + last rank checkpoint).
         """
+        if max_restarts and not checkpoint_dir:
+            raise ValueError("max_restarts requires checkpoint_dir")
+        attempts = 0
+        while True:
+            try:
+                return self._run_inner(
+                    alpha, max_iterations, epsilon, v_indicator,
+                    checkpoint_dir, checkpoint_every, resume, stop_after,
+                    exchange)
+            except ray.exceptions.RayActorError:
+                attempts += 1
+                if attempts > max_restarts:
+                    raise
+                from .actors import create_workers, kill_workers
+                try:
+                    kill_workers(self.workers)
+                except Exception:
+                    pass
+                self.workers = create_workers(
+                    self.graph_dir, self.meta,
+                    num_workers=len(self.workers))[0]
+                # resume from the last committed manifest if one
+                # exists; otherwise restart the run from scratch
+                resume = os.path.exists(
+                    os.path.join(checkpoint_dir, "manifest.json"))
+
+    def _run_inner(
+        self,
+        alpha: float,
+        max_iterations: int,
+        epsilon: float,
+        v_indicator,
+        checkpoint_dir: str | None,
+        checkpoint_every: int,
+        resume: bool,
+        stop_after: int | None,
+        exchange: str,
+    ) -> pa.Table | None:
         W = self.workers
         A = len(W)
 

@@ -176,6 +176,39 @@ def test_resume_on_different_worker_count(tmp_path):
         assert resumed[k] == pytest.approx(full[k], abs=1e-9)
 
 
+def test_actor_death_recovery(tmp_path):
+    """max_restarts: kill a worker mid-run; the pool rebuilds (shards
+    reload from parquet) and resumes from the last checkpoint to the
+    same final ranks as an uninterrupted run."""
+    import ray
+
+    table, _ = generate_corpus(num_repos=2, files_per_repo=15)
+    edge_tbl = extract_edges_batch(table)
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edge_tbl), gdir, num_parts=4)
+
+    r0 = PageRankRunner(gdir, num_workers=2)
+    try:
+        full = {r["node"]: r["rank"] for r in r0.run().to_pylist()}
+    finally:
+        r0.close()
+
+    ck = str(tmp_path / "ck")
+    r = PageRankRunner(gdir, num_workers=2)
+    try:
+        r.run(checkpoint_dir=ck, checkpoint_every=2, stop_after=4)
+        ray.kill(r.workers[0])  # simulate node/actor failure
+        got = r.run(checkpoint_dir=ck, checkpoint_every=2, resume=True,
+                    max_restarts=1)
+        recovered = {x["node"]: x["rank"] for x in got.to_pylist()}
+    finally:
+        r.close()
+    assert recovered.keys() == full.keys()
+    import pytest as _pytest
+    for k in full:
+        assert recovered[k] == _pytest.approx(full[k], abs=1e-12)
+
+
 def test_write_ranks_resumable(tmp_path):
     from pagerank_ray.graph.pagerank import write_ranks
     import pyarrow.parquet as pq
