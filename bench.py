@@ -163,7 +163,7 @@ def bench_minhash_scale() -> dict:
           .materialize())
     t0 = time.time()
     n = ds.map_batches(minhash_batch, batch_format="pyarrow",
-                       batch_size=64).count()
+                       batch_size=32).count()
     return {"sec": time.time() - t0, "rows": n}
 
 
