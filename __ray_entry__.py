@@ -347,6 +347,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return broadcast_join_orders_customer(sf_dir)
 
+    # ---- curation composition + sketches ----
+
+    from pagerank_ray.functions.sketch import hll_distinct
+    from pagerank_ray.pipelines.curation import curate_documents
+
+    def q_curate_documents(sf_dir):
+        """Flagship training-data composition: dedup ∩ lang ∩ quality
+        gate ∩ deterministic sha256 sample."""
+        _quiet()
+        return curate_documents(sf_dir, lang="en", min_tokens=20,
+                                max_tokens=2000, sample_pct=50)
+
+    def q_hll_distinct_users(sf_dir):
+        """Approximate distinct user_ids (mergeable HLL sketches);
+        rows-only — approximation has no exact SQL equivalent."""
+        _quiet()
+        import ray.data as rd
+        est = hll_distinct(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"]), "user_id", p=12)
+        return pa.table({"estimate": pa.array([round(est)], pa.int64())})
+
     # ---- multimodal (synthetic media; deterministic) ----
 
     def q_media_features(sf_dir):
@@ -384,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "curate_documents": q_curate_documents,
+        "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
         "asof_join_events_orders": q_asof_join,
         "broadcast_join_orders_customer": q_broadcast_join,
@@ -422,10 +446,13 @@ _GRAMS = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, WINDOWED_EVENT_AGG_SQL)
 
     return {
+        "curate_documents": CURATE_SQL.format(
+            lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(
             us=60 * 60_000_000),
         "asof_join_events_orders": ASOF_JOIN_SQL,

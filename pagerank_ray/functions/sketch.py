@@ -1,0 +1,98 @@
+"""Mergeable sketches for approximate aggregates at scale.
+
+HyperLogLog distinct counting: one sketch per batch inside
+map_batches, sketches merged in a tiny second stage (register-wise
+max) — the guide's mergeable-sketch pattern. Hashing is blake2b
+(process-independent); registers 2^p.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class HyperLogLog:
+    """Standard HLL with 2^p registers and the usual bias corrections."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining bits + 1 (cap 64-p+1),
+        # counted 4 bits at a time (exact; float log2 is not)
+        nonzero = rest != 0
+        remaining = nonzero.copy()
+        count = np.zeros(len(h), dtype=np.uint8)
+        vv = rest.copy()
+        for _ in range(16):
+            nib = (vv >> np.uint64(60)) & np.uint64(0xF)
+            count[(nib == 0) & remaining] += 4
+            hit = (nib != 0) & remaining
+            if hit.any():
+                top = nib[hit].astype(np.uint8)
+                extra = np.where(top >= 8, 0,
+                                 np.where(top >= 4, 1,
+                                          np.where(top >= 2, 2, 3)))
+                count[hit] += extra.astype(np.uint8)
+                remaining[hit] = False
+            vv = vv << np.uint64(4)
+        lz = np.where(nonzero, count + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, lz)
+
+    def add_strings(self, values) -> None:
+        if len(values) == 0:
+            return
+        h = np.fromiter(
+            (np.frombuffer(hashlib.blake2b(
+                str(x).encode("utf-8"), digest_size=8).digest(),
+                dtype=np.uint64)[0] for x in values),
+            dtype=np.uint64, count=len(values))
+        self.add_hashes(h)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = np.sum(2.0 ** -self.registers.astype(np.float64))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int(np.sum(self.registers == 0))
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def hll_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate distinct count of ``column`` via per-batch sketches
+    merged register-wise (one small row per batch crosses the wire)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        h.add_strings(t.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
+    return merged.estimate()

@@ -1,0 +1,82 @@
+"""Curation pipeline composition + HLL sketch accuracy."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pagerank_ray.functions.sketch import HyperLogLog, hll_distinct
+from pagerank_ray.pipelines.curation import curate_documents, hash_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_deterministic():
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    a = sorted(r["doc_id"]
+               for r in hash_sample(docs, 30).take_all())
+    docs2 = rd.read_parquet(f"{SF}/documents.parquet")
+    b = sorted(r["doc_id"]
+               for r in hash_sample(docs2, 30).take_all())
+    assert a == b
+    n_total = rd.read_parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(a) < n_total
+    # pct=100 keeps everything, pct=0 keeps nothing
+    assert hash_sample(rd.read_parquet(f"{SF}/documents.parquet"),
+                       100).count() == n_total
+    assert hash_sample(rd.read_parquet(f"{SF}/documents.parquet"),
+                       0).count() == 0
+
+
+def test_curate_documents_matches_brute_force():
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    got = sorted(r["doc_id"]
+                 for r in curate_documents(SF, lang="en", min_tokens=20,
+                                           max_tokens=2000,
+                                           sample_pct=50).take_all())
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    first_by_text = {}
+    for d in sorted(docs, key=lambda x: x["doc_id"]):
+        first_by_text.setdefault(d["text"], d["doc_id"])
+    keepers = set(first_by_text.values())
+    want = []
+    for d in docs:
+        if d["doc_id"] not in keepers or d["lang"] != "en":
+            continue
+        ntok = len(d["text"].split())
+        if not (20 <= ntok <= 2000):
+            continue
+        b = int(hashlib.sha256(
+            d["text"].encode()).hexdigest()[:8], 16) % 100
+        if b < 50:
+            want.append(d["doc_id"])
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_hll_accuracy():
+    h = HyperLogLog(p=12)
+    h.add_strings([f"item-{i}" for i in range(50_000)])
+    est = h.estimate()
+    assert est == pytest.approx(50_000, rel=0.05)
+    # mergeability: two halves == one pass
+    h1 = HyperLogLog(p=12)
+    h2 = HyperLogLog(p=12)
+    h1.add_strings([f"item-{i}" for i in range(25_000)])
+    h2.add_strings([f"item-{i}" for i in range(25_000, 50_000)])
+    h1.merge(h2)
+    assert h1.estimate() == pytest.approx(est, rel=1e-12)
+    # serialization round-trip
+    h3 = HyperLogLog.from_bytes(h1.to_bytes(), p=12)
+    assert h3.estimate() == h1.estimate()
+
+
+def test_hll_distinct_dataset():
+    t = pa.table({"user": pa.array(
+        [f"u{i % 137}" for i in range(5000)], pa.string())})
+    est = hll_distinct(rd.from_arrow(t), "user", p=12)
+    assert est == pytest.approx(137, rel=0.08)
