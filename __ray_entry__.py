@@ -20,6 +20,8 @@ ray.init()/ray.shutdown() anywhere in the library or these callables.
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
@@ -27,6 +29,18 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# the pagerank_ray package lives next to this file; make imports work
+# regardless of the driver's working directory — both driver-side
+# (sys.path) and for Ray workers spawned after this import
+# (PYTHONPATH is read at worker spawn)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+if _REPO_DIR not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _REPO_DIR)
 
 
 # --------------------------------------------------------------- util
