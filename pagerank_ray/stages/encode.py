@@ -14,11 +14,20 @@ Replaces the reference's driver-resident mutable dict
    encode task maps names -> ids with a vectorized Arrow ``index_in``
    (hash lookup) — a broadcast join, no per-batch reshipping.
 
-Scale note: the dictionary is O(#nodes) strings — orders of magnitude
-smaller than the edge table (25k nodes vs 1.6M edges in the reference
-corpus). At 10^12-file scale where even the dictionary outgrows one
-worker heap, the same pipeline swaps step 3 for a sorted-range
-partitioned hash join keyed on ``node`` without touching the callers.
+Two encode paths, selected by dictionary size (``build_graph``'s
+``encode_mode="auto"``):
+
+* **broadcast** (small dictionaries): the sorted name array is
+  ``ray.put`` once and each encode task maps names -> ids with a
+  vectorized Arrow ``index_in`` (a broadcast join, no per-batch
+  reshipping).
+* **partitioned** (the 100-TB path): the dictionary NEVER touches the
+  driver. ``distinct_nodes_dataset`` keeps the distinct set as a
+  Dataset; ``assign_ids_sorted`` sorts it (range shuffle) and assigns
+  dense ids 0..n-1 by per-block offsets computed from BLOCK METADATA
+  ONLY (one int per block crosses to the driver); the edge table is
+  encoded with two partitioned hash joins (``Dataset.join``) keyed on
+  src / dst.
 """
 
 from __future__ import annotations
@@ -28,27 +37,120 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data
 
 
-def distinct_nodes(edges_ds) -> pa.Array:
-    """Sorted distinct node names over src ∪ dst (driver-side array)."""
+def _partial_distinct(batch: pa.Table) -> pa.Table:
+    both = pa.concat_arrays([
+        batch.column("src").combine_chunks(),
+        batch.column("dst").combine_chunks(),
+    ])
+    return pa.table({"node": pc.unique(both)})
 
-    def partial_distinct(batch: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([
-            batch.column("src").combine_chunks(),
-            batch.column("dst").combine_chunks(),
-        ])
-        return pa.table({"node": pc.unique(both)})
 
-    nodes_ds = (
-        edges_ds.map_batches(partial_distinct, batch_format="pyarrow",
+def distinct_nodes_dataset(edges_ds):
+    """Distinct node names over src ∪ dst as a DATASET (never driver-side).
+
+    Per-batch partial distinct inside map_batches (the combiner), then
+    a groupby shuffle for the global distinct.
+    """
+    return (
+        edges_ds.map_batches(_partial_distinct, batch_format="pyarrow",
                              zero_copy_batch=True)
         .groupby("node")
         .count()
+        .select_columns(["node"])
     )
-    tbl = pa.Table.from_pandas(nodes_ds.to_pandas())
-    names = pc.sort_indices(tbl.column("node"))
-    return tbl.column("node").take(names).combine_chunks()
+
+
+def distinct_nodes(edges_ds) -> pa.Array:
+    """Sorted distinct node names collected to the driver.
+
+    Collecting is the POINT here (this backs the `distinct_nodes`
+    query, whose result IS the node list, and the broadcast encode
+    fast path); graph builds above ``broadcast_threshold`` names use
+    ``distinct_nodes_dataset`` + ``assign_ids_sorted`` instead.
+    """
+    tables = ray.get(distinct_nodes_dataset(edges_ds).to_arrow_refs())
+    col = pa.concat_tables(tables).column("node")
+    return col.take(pc.sort_indices(col)).combine_chunks()
+
+
+@ray.remote
+def _append_id_block(block: pa.Table, offset: int) -> pa.Table:
+    ids = np.arange(offset, offset + block.num_rows, dtype=np.int64)
+    return block.append_column("id", pa.array(ids))
+
+
+def assign_ids_sorted(nodes_ds):
+    """Dense ids 0..n-1 in sorted-name order, assigned DISTRIBUTEDLY.
+
+    Sorts the distinct-name Dataset (range shuffle -> globally ordered
+    blocks), reads per-block row counts from block METADATA (one int
+    per block on the driver), prefix-sums them into block offsets, and
+    appends the id column block-parallel. Returns a Dataset with
+    columns (node: string, id: int64). The name data itself never
+    lands on the driver.
+    """
+    sorted_ds = nodes_ds.sort("node").materialize()
+    blocks = [(ref, md.num_rows)
+              for bundle in sorted_ds.iter_internal_ref_bundles()
+              for ref, md in bundle.blocks]
+    counts = [nr if nr is not None else ray.get(_block_rows.remote(ref))
+              for ref, nr in blocks]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    refs = [_append_id_block.remote(ref, int(offsets[i]))
+            for i, (ref, _) in enumerate(blocks)]
+    return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _block_rows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+def encode_edges_partitioned(edges_ds, nodes_ds,
+                             num_partitions: int | None = None):
+    """(src, dst) -> (src_id, dst_id) via two partitioned hash joins.
+
+    The scale path: both sides hash-shuffle on the join key, so no
+    single process ever holds the dictionary. ``nodes_ds`` is the
+    (node, id) Dataset from ``assign_ids_sorted``.
+
+    ``num_partitions`` defaults to the cluster CPU count (min 8); at
+    real scale pass an explicit value sized so one partition of the
+    edge table fits an aggregator's heap. Aggregator actors reserve
+    0.1 CPU each: both joins instantiate their FULL aggregator pools
+    up front, so reservation×partitions×2 must stay well under the
+    cluster or the pipeline deadlocks before any shuffle task runs
+    (observed at 4 CPUs with the default 1-CPU reservation).
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    agg_args = {"num_cpus": 0.1}
+
+    def _rename_src(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": t.column("dst"),
+            "src_id": pc.cast(t.column("id"), pa.int64()),
+        })
+
+    def _rename_dst(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_id": t.column("src_id"),
+            "dst_id": pc.cast(t.column("id"), pa.int64()),
+        })
+
+    half = edges_ds.join(
+        nodes_ds, join_type="inner", num_partitions=num_partitions,
+        on=("src",), right_on=("node",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(_rename_src, batch_format="pyarrow", zero_copy_batch=True)
+    return half.join(
+        nodes_ds, join_type="inner", num_partitions=num_partitions,
+        on=("dst",), right_on=("node",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(_rename_dst, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class EdgeEncoder:
