@@ -459,12 +459,88 @@ _GRAMS = r"""
 """
 
 
+def _langid_sql() -> str:
+    """Argmax of per-language stopword hits, generated from the SAME
+    stopword table and RE2 patterns as the Ray LangId stage (DuckDB is
+    RE2 too, so counts agree exactly). Tiebreak: first max in sorted
+    language order — CASE evaluation order reproduces numpy argmax."""
+    from pagerank_ray.functions.text import (LANG_STOPWORDS,
+                                             _word_alternation)
+    langs = sorted(LANG_STOPWORDS)
+    counts = ",\n".join(
+        "len(regexp_extract_all(text, '{}')) AS c_{}".format(
+            _word_alternation(tuple(LANG_STOPWORDS[lg])).replace("'", "''"),
+            lg)
+        for lg in langs)
+    all_c = ", ".join(f"c_{lg}" for lg in langs)
+    first_max = "\n".join(
+        f"WHEN c_{lg} = greatest({all_c}) THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH c AS (SELECT doc_id, {counts} FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest({all_c}) = 0 THEN 'und'
+                    {first_max} END AS lang_pred,
+               greatest({all_c}) AS stopword_hits
+        FROM c
+    """
+
+
+_FINGERPRINT_SQL = """
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+         vals AS (SELECT doc_id,
+            CASE WHEN length(h) = 0 THEN CAST(0 AS HUGEINT)
+            ELSE list_reduce(
+              list_transform(range(1, length(h) // 2 + 1),
+                i -> CAST(16 * (strpos('0123456789ABCDEF', h[2*i-1]) - 1)
+                         + (strpos('0123456789ABCDEF', h[2*i]) - 1)
+                     AS HUGEINT)),
+              (acc, x) -> (acc * 1099511628211 + x)
+                          % CAST('18446744073709551616' AS HUGEINT))
+            END AS v
+            FROM hx)
+    SELECT doc_id,
+           CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN v - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE v END AS BIGINT) AS fingerprint
+    FROM vals
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, WINDOWED_EVENT_AGG_SQL)
 
     return {
+        # langid: same stopword table + RE2 patterns as LangId
+        "langid": _langid_sql(),
+
+        # fingerprint: Horner over UTF-8 bytes mod 2^64 in HUGEINT —
+        # h_i = h_{i-1}*B + byte_i reproduces Σ byte_i·B^(n-1-i)
+        "fingerprint": _FINGERPRINT_SQL,
+
+        # minhash_lsh emits exact-verified jaccard for LSH candidate
+        # pairs; at the test thresholds LSH recall is 1.0 (near-dup
+        # pairs sit far above threshold: 128 perms / 16 bands), so the
+        # exact all-pairs SQL is the equality oracle. jaccard is a
+        # ratio of small exact ints -> bit-identical doubles.
+        "minhash_lsh": f"""
+            WITH grams AS ({_GRAMS}),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+                           GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                                  COUNT(*) AS i
+                           FROM grams a JOIN grams b
+                             ON a.g = b.g AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT inter.a, inter.b,
+                   CAST(inter.i AS DOUBLE)
+                       / (sa.sz + sb.sz - inter.i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.a
+            JOIN sizes sb ON sb.doc_id = inter.b
+            WHERE inter.i >= 0.5 * (sa.sz + sb.sz - inter.i)
+        """,
         "curate_documents": CURATE_SQL.format(
             lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(

@@ -274,9 +274,12 @@ def _read_part_dir(d: str, columns: list[str]) -> pa.Table | None:
 
 def load_part_names(graph_dir: str, part: int, num_parts: int) -> np.ndarray:
     """Node names for ids with id % P == part, ordered by local index."""
-    t = _read_part_dir(os.path.join(graph_dir, "nodes", f"part={part}"),
-                       ["node", "id"])
-    if t is not None:
+    nodes_dir = os.path.join(graph_dir, "nodes")
+    if os.path.isdir(nodes_dir):
+        t = _read_part_dir(os.path.join(nodes_dir, f"part={part}"),
+                           ["node", "id"])
+        if t is None:  # no ids hash to this part (tiny graphs)
+            return np.empty(0, dtype=object)
         # order by id == local-index order (local = id // P increasing);
         # within-file order is NOT relied on (hash-join builds shuffle it)
         order = np.argsort(t.column("id").to_numpy())

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -24,6 +25,19 @@ import ray.data as rd
 
 def _to_ds(x):
     return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+
+def _fetch_rows(ds, vec_ids) -> list[dict]:
+    """Rows for a handful of vec_ids via a FILTERED distributed scan —
+    only the matching rows ever reach the driver (the round-1 version
+    take_all()'d the whole dataset for 5 query rows)."""
+    value_set = pa.array(sorted(set(vec_ids)), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=value_set))
+
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -41,7 +55,7 @@ def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
     qs = set(qset)
 
     q_rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-              for r in ds.take_all() if r["vec_id"] in qs}
+              for r in _fetch_rows(ds, qs)}
     missing = qs - q_rows.keys()
     if missing:
         raise ValueError(f"query_ids not found in dataset: "
@@ -108,8 +122,8 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
     approximate — compare by recall, not equality.
     """
     ds = _to_ds(embs)
-    rows = ds.take_all()
-    dim = len(rows[0]["embedding"])
+    # dim from the first row only (one block executes, not the dataset)
+    dim = len(ds.take(1)[0]["embedding"])
     hasher = _HyperplaneHasher(dim, nbits, seed)
     href = ray.put(hasher)
 
@@ -132,9 +146,9 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                               batch_format="pyarrow",
                               concurrency=(1, 4)).materialize()
 
-    # queries with their buckets + Hamming-1 probes
-    qset = set(query_ids)
-    qrows = [r for r in bucketed.take_all() if r["vec_id"] in qset]
+    # queries with their buckets + Hamming-1 probes (filtered scan —
+    # only the query rows reach the driver)
+    qrows = _fetch_rows(bucketed, query_ids)
     probe = {}
     for r in qrows:
         b = r["bucket"]

@@ -117,17 +117,9 @@ def encode_edges_partitioned(edges_ds, nodes_ds,
     single process ever holds the dictionary. ``nodes_ds`` is the
     (node, id) Dataset from ``assign_ids_sorted``.
 
-    ``num_partitions`` defaults to the cluster CPU count (min 8); at
-    real scale pass an explicit value sized so one partition of the
-    edge table fits an aggregator's heap. Aggregator actors reserve
-    0.1 CPU each: both joins instantiate their FULL aggregator pools
-    up front, so reservation×partitions×2 must stay well under the
-    cluster or the pipeline deadlocks before any shuffle task runs
-    (observed at 4 CPUs with the default 1-CPU reservation).
+    Partition sizing / aggregator reservations: see stages/join.py.
     """
-    if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    agg_args = {"num_cpus": 0.1}
+    from .join import hash_join
 
     def _rename_src(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -141,15 +133,13 @@ def encode_edges_partitioned(edges_ds, nodes_ds,
             "dst_id": pc.cast(t.column("id"), pa.int64()),
         })
 
-    half = edges_ds.join(
-        nodes_ds, join_type="inner", num_partitions=num_partitions,
-        on=("src",), right_on=("node",),
-        aggregator_ray_remote_args=agg_args,
+    half = hash_join(
+        edges_ds, nodes_ds, on=("src",), right_on=("node",),
+        num_partitions=num_partitions,
     ).map_batches(_rename_src, batch_format="pyarrow", zero_copy_batch=True)
-    return half.join(
-        nodes_ds, join_type="inner", num_partitions=num_partitions,
-        on=("dst",), right_on=("node",),
-        aggregator_ray_remote_args=agg_args,
+    return hash_join(
+        half, nodes_ds, on=("dst",), right_on=("node",),
+        num_partitions=num_partitions,
     ).map_batches(_rename_dst, batch_format="pyarrow", zero_copy_batch=True)
 
 
