@@ -24,11 +24,22 @@ import ray.data as rd
 from ..functions.text import quality_counts_batch
 
 
+def _sha256_buckets(texts: list[str]) -> np.ndarray:
+    """[0,100) bucket per text from the first 4 sha256 bytes.
+
+    hashlib releases the GIL per call and the arithmetic is numpy —
+    the per-row loop is just the digest calls (sha256 of variable-
+    length strings has no batch kernel anywhere)."""
+    raw = np.empty(len(texts), dtype=np.uint32)
+    for i, x in enumerate(texts):
+        raw[i] = int.from_bytes(
+            hashlib.sha256(x.encode("utf-8")).digest()[:4], "big")
+    return (raw % 100).astype(np.int64)
+
+
 def hash_bucket_batch(t: pa.Table, key: str = "text") -> pa.Table:
     """Add a deterministic [0,100) bucket from sha256(key)."""
-    buckets = [
-        int(hashlib.sha256(x.encode("utf-8")).hexdigest()[:8], 16) % 100
-        for x in t.column(key).to_pylist()]
+    buckets = _sha256_buckets(t.column(key).to_pylist())
     return t.append_column("bucket", pa.array(buckets, pa.int64()))
 
 
@@ -46,49 +57,75 @@ def hash_sample(docs_ds, pct: int, key: str = "text"):
 
 def curate_documents(sf_dir: str, lang: str = "en",
                      min_tokens: int = 20, max_tokens: int = 2000,
-                     sample_pct: int = 50):
+                     sample_pct: int = 50,
+                     keeper_mode: str = "broadcast"):
     """-> Dataset of curated (doc_id): dedup ∩ lang ∩ quality ∩ sample.
 
-    Stages stream in one pipeline; the dedup keeper set (min doc_id
-    per distinct text) is computed with a groupby and broadcast as a
-    filter set (small relative to the corpus).
+    Stages stream in one pipeline. The dedup keeper set (min doc_id
+    per distinct text) is applied either as a broadcast ``pc.is_in``
+    filter (``keeper_mode="broadcast"`` — ids only, small relative to
+    the corpus) or as a partitioned semi-join on doc_id
+    (``keeper_mode="join"`` — the 100-TB path: the keeper set never
+    touches the driver).
     """
-    from ..pipelines.dedup import exact_dedup
-
     import ray
 
-    keepers = exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
-    keep_ref = ray.put(set(keepers.column("doc_id").to_pylist()))
+    from ..stages.join import hash_join
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
 
-    class Curate:
-        def __init__(self, keep_ref, lang, lo, hi, pct):
-            self.keep = ray.get(keep_ref) if isinstance(
+    def filters(t: pa.Table) -> pa.Table:
+        """lang ∩ token-band ∩ deterministic sample — all vectorized
+        except the per-row sha256 digests (no batch kernel exists)."""
+        mask = pc.equal(t.column("lang"), pa.scalar(lang)).to_numpy(
+            zero_copy_only=False)
+        ntok = quality_counts_batch(t).column("n_tokens").to_numpy()
+        mask &= (ntok >= min_tokens) & (ntok <= max_tokens)
+        mask &= _sha256_buckets(
+            t.column("text").to_pylist()) < sample_pct
+        return pa.table({"doc_id": t.column("doc_id").filter(
+            pa.array(mask))})
+
+    filtered = docs.map_batches(filters, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    if keeper_mode == "join":
+        # keeper ids as a DATASET: sha256 -> groupby -> min doc_id,
+        # then a partitioned semi-join onto the filtered ids
+        def hash_batch(t: pa.Table) -> pa.Table:
+            hs = [hashlib.sha256(x.encode("utf-8")).hexdigest()
+                  for x in t.column("text").to_pylist()]
+            return pa.table({"h": pa.array(hs, pa.string()),
+                             "doc_id": t.column("doc_id")})
+
+        keepers_ds = (docs.map_batches(hash_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                      .groupby("h").min("doc_id")
+                      .map_batches(
+                          lambda t: pa.table(
+                              {"keep_id": t.column("min(doc_id)")}),
+                          batch_format="pyarrow", zero_copy_batch=True))
+        return hash_join(filtered, keepers_ds, on=("doc_id",),
+                         right_on=("keep_id",))
+
+    from ..pipelines.dedup import exact_dedup
+    keepers = exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    keep_ref = ray.put(keepers.column("doc_id").combine_chunks())
+
+    class KeeperFilter:
+        def __init__(self, keep_ref):
+            keep = ray.get(keep_ref) if isinstance(
                 keep_ref, ray.ObjectRef) else keep_ref
-            self.lang = lang
-            self.lo, self.hi, self.pct = lo, hi, pct
+            self.keep = keep  # pa.Array of keeper ids
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            mask = np.array([i in self.keep for i in ids])
-            mask &= pc.equal(t.column("lang"),
-                             pa.scalar(self.lang)).to_numpy(
-                                 zero_copy_only=False)
-            q = quality_counts_batch(t)
-            ntok = q.column("n_tokens").to_numpy()
-            mask &= (ntok >= self.lo) & (ntok <= self.hi)
-            buckets = np.array([
-                int(hashlib.sha256(x.encode()).hexdigest()[:8], 16) % 100
-                for x in t.column("text").to_pylist()])
-            mask &= buckets < self.pct
-            return pa.table({"doc_id": pa.array(ids[mask])})
+            keep = pc.is_in(t.column("doc_id"), value_set=self.keep)
+            return t.filter(keep)
 
-    return docs.map_batches(
-        Curate, fn_constructor_args=(keep_ref, lang, min_tokens,
-                                     max_tokens, sample_pct),
-        batch_format="pyarrow", concurrency=(1, 4))
+    return filtered.map_batches(
+        KeeperFilter, fn_constructor_args=(keep_ref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
 
 CURATE_SQL = r"""

@@ -57,6 +57,14 @@ def test_curate_documents_matches_brute_force():
     assert got == sorted(want)
     assert len(got) > 0
 
+    # the semi-join keeper path (100-TB shape: keeper set never on the
+    # driver) selects the exact same documents
+    got_join = sorted(r["doc_id"]
+                      for r in curate_documents(
+                          SF, lang="en", min_tokens=20, max_tokens=2000,
+                          sample_pct=50, keeper_mode="join").take_all())
+    assert got_join == got
+
 
 def test_hll_accuracy():
     h = HyperLogLog(p=12)
