@@ -11,9 +11,8 @@ Stages (each a Ray Data op; shuffles are the groupbys):
   1. canonicalize + dedup undirected edges      [groupby (u,v)]
   2. vertex degrees                              [groupby vertex]
   3. orient by (degree, id)  (broadcast degree array via ray.put)
-  4. wedges per source a: pairs of out-neighbors [groupby a, map_groups]
-  5. close wedges against oriented edges: union with a side tag,
-     partitioned hash join on (b, c)             [groupby (b,c)]
+  4. wedges per source a: partitioned SELF-JOIN on a, kb<kb2 filter
+  5. close wedges against oriented edges: partitioned hash join (b,c)
   6. per-vertex counts (3 emits per triangle)    [groupby vertex]
 
 Counts match the brute-force oracle exactly (FIXTURES.md F5).
@@ -22,8 +21,8 @@ Counts match the brute-force oracle exactly (FIXTURES.md F5).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -107,51 +106,42 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     if n_edges <= broadcast_threshold:
         return _close_broadcast(oriented, names, n)
 
-    # wedges: for each a, all pairs of out-neighbors ordered by the
+    # wedges: all out-neighbor pairs of each a, ordered by the
     # orientation's (deg, id) total order (kb), so the closing edge
     # (b -> c) exists in the oriented set iff the triangle exists.
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["kb"].to_numpy(), kind="stable")
-        nb = g["b"].to_numpy()[order]
-        k = len(nb)
-        if k < 2:
-            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64"),
-                                 "a": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(k, k=1)
-        return pd.DataFrame({"b": nb[iu], "c": nb[ju],
-                             "a": np.full(len(iu), g["a"].iloc[0])})
+    # Expressed as a partitioned SELF-JOIN on a (not per-a map_groups
+    # — that was one Python call per vertex) with the kb < kb2 filter
+    # selecting each unordered pair exactly once, correctly oriented.
+    from ..stages.join import hash_join
 
-    wedge_ds = oriented.groupby("a").map_groups(
-        wedges, batch_format="pandas")
+    wedge_ds = hash_join(
+        oriented, oriented.map_batches(
+            lambda t: t.rename_columns(["a2", "b2", "kb2"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        on=("a",), right_on=("a2",),
+    ).map_batches(
+        lambda t: pa.table({
+            "a": t.column("a"), "wb": t.column("b"),
+            "wc": t.column("b2")}).filter(
+                pc.less(t.column("kb"), t.column("kb2"))),
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    # close wedges against oriented edges with a partitioned hash join
-    # on (b, c): union both sides with a tag, group, and match.
-    # both union branches must produce the same block type (pandas)
-    edge_side = oriented.map_batches(
-        lambda t: pd.DataFrame({"b": t.column("a").to_numpy(),
-                                "c": t.column("b").to_numpy(),
-                                "a": np.full(t.num_rows, -1,
-                                             dtype=np.int64)}),
-        batch_format="pyarrow")
-    unioned = wedge_ds.union(edge_side)
+    # close: partitioned hash join of wedges against oriented edges on
+    # (b, c) — fully vectorized, no per-pair Python
+    edge_keys = oriented.map_batches(
+        lambda t: pa.table({"eb": t.column("a"), "ec": t.column("b")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    closed = hash_join(wedge_ds, edge_keys, on=("wb", "wc"),
+                       right_on=("eb", "ec"))
 
-    def close(g: pd.DataFrame) -> pd.DataFrame:
-        has_edge = (g["a"] < 0).any()
-        if not has_edge:
-            return pd.DataFrame({"vertex": pd.Series([], dtype="int64")})
-        tri_a = g.loc[g["a"] >= 0, "a"].to_numpy()
-        if len(tri_a) == 0:
-            return pd.DataFrame({"vertex": pd.Series([], dtype="int64")})
-        b = int(g["b"].iloc[0])
-        c = int(g["c"].iloc[0])
-        verts = np.concatenate([tri_a,
-                                np.full(len(tri_a), b, dtype=np.int64),
-                                np.full(len(tri_a), c, dtype=np.int64)])
-        return pd.DataFrame({"vertex": verts})
+    def emit_tri_verts(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays([
+            t.column(c).combine_chunks().cast(pa.int64())
+            for c in ("a", "wb", "wc")])})
 
-    tri_verts = unioned.groupby(["b", "c"]).map_groups(
-        close, batch_format="pandas")
+    tri_verts = closed.map_batches(emit_tri_verts,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     counts = tri_verts.groupby("vertex").count().take_all()
     tri = np.zeros(n, dtype=np.int64)

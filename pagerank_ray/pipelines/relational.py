@@ -80,52 +80,70 @@ WINDOWED_EVENT_AGG_SQL = """
 """
 
 
-def asof_join_events_orders(sf_dir: str):
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
     """(event_id, o_orderkey): latest order of customer=user_id with
     o_orderdate <= event ts; events with no such order are dropped.
 
-    Pattern: bucket both sides by the join key hash, sort within
-    buckets, pd.merge_asof per bucket (guide's as-of recipe). The
-    order side is small here so buckets are built from a broadcast
-    table; at scale both sides bucket through a groupby shuffle.
+    Two-sided bucketed merge-asof (the scale shape): BOTH sides add a
+    ``custkey % num_buckets`` bucket column and shuffle through one
+    groupby; each bucket group runs a single vectorized
+    ``pd.merge_asof(by=cust)`` — no broadcast order table, no
+    per-customer Python loop. Co-partitioning both sides on the same
+    key is what makes the per-bucket merge complete.
     """
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        cust = t.column("user_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(cust % num_buckets),
+            "cust": pa.array(cust),
+            "t": t.column("ts").cast(pa.int64()),
+            "id": t.column("event_id"),
+            "side": pa.array(np.zeros(len(cust), dtype=np.int8)),
+        })
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy()
+        return pa.table({
+            "bucket": pa.array(cust % num_buckets),
+            "cust": pa.array(cust),
+            "t": t.column("o_orderdate").cast(pa.int64()),
+            "id": t.column("o_orderkey"),
+            "side": pa.array(np.ones(len(cust), dtype=np.int8)),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"]).map_batches(
+            ev_side, batch_format="pyarrow", zero_copy_batch=True)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders.sort_values(["o_orderdate", "o_orderkey"],
-                                kind="stable")
-    oref = ray.put(orders)
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            ord_side, batch_format="pyarrow", zero_copy_batch=True)
 
-    class AsOf:
-        def __init__(self, oref):
-            odf = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
-            self.by_cust = {k: g for k, g in odf.groupby("o_custkey")}
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0].sort_values(["t", "id"], kind="stable")
+        od = g[g["side"] == 1].sort_values(["t", "id"], kind="stable")
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64")})
+        if ev.empty or od.empty:
+            return empty
+        # backward asof per customer; ties on t resolve to the LAST
+        # right row in sort order = max o_orderkey (oracle semantics)
+        m = pd.merge_asof(ev[["t", "cust", "id"]],
+                          od[["t", "cust", "id"]],
+                          on="t", by="cust", direction="backward",
+                          suffixes=("", "_o"))
+        m = m.dropna(subset=["id_o"])
+        if m.empty:
+            return empty
+        return pd.DataFrame({
+            "event_id": m["id"].astype(np.int64),
+            "o_orderkey": m["id_o"].astype(np.int64)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ev = t.to_pandas()
-            out_e, out_o = [], []
-            for cust, g in ev.groupby("user_id"):
-                odf = self.by_cust.get(cust)
-                if odf is None:
-                    continue
-                g = g.sort_values(["ts", "event_id"], kind="stable")
-                m = pd.merge_asof(
-                    g[["event_id", "ts"]],
-                    odf[["o_orderdate", "o_orderkey"]],
-                    left_on="ts", right_on="o_orderdate",
-                    direction="backward")
-                m = m.dropna(subset=["o_orderkey"])
-                out_e.extend(m["event_id"].tolist())
-                out_o.extend(m["o_orderkey"].astype(np.int64).tolist())
-            return pa.table({
-                "event_id": pa.array(out_e, pa.int64()),
-                "o_orderkey": pa.array(out_o, pa.int64()),
-            })
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id"])
-    return ds.map_batches(AsOf, fn_constructor_args=(oref,),
-                          batch_format="pyarrow", concurrency=(1, 4))
+    return events.union(orders).groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas")
 
 
 ASOF_JOIN_SQL = """

@@ -26,11 +26,14 @@ def default_join_partitions() -> int:
 
 
 def hash_join(left, right, on, right_on=None, join_type: str = "inner",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              left_suffix: str | None = None,
+              right_suffix: str | None = None):
     """Partitioned hash join of two Datasets (both sides shuffle).
 
     ``on`` / ``right_on`` are column-name tuples; the right key
-    columns are dropped from the output (Ray semantics).
+    columns are dropped from the output (Ray semantics). Suffixes
+    disambiguate colliding non-key columns (e.g. self-joins).
     """
     if isinstance(on, str):
         on = (on,)
@@ -42,5 +45,7 @@ def hash_join(left, right, on, right_on=None, join_type: str = "inner",
         num_partitions=num_partitions or default_join_partitions(),
         on=tuple(on),
         right_on=tuple(right_on) if right_on is not None else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
         aggregator_ray_remote_args=dict(_AGG_ARGS),
     )

@@ -102,6 +102,19 @@ def test_triangles_partitioned_join_path_matches_broadcast():
     slow = triangle_counts(from_arrow_edges(edges), broadcast_threshold=0)
     assert fast.to_pylist() == slow.to_pylist()
 
+    # dense random graph: (deg,id) order != id order, so a wedge
+    # self-join with the wrong pair orientation would undercount
+    import pyarrow as pa
+    rng = np.random.RandomState(5)
+    n, m = 30, 250
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    t = pa.table({"src": pa.array([str(x) for x in src]),
+                  "dst": pa.array([str(x) for x in dst])})
+    fast2 = triangle_counts(from_arrow_edges(t))
+    slow2 = triangle_counts(from_arrow_edges(t), broadcast_threshold=0)
+    assert fast2.to_pylist() == slow2.to_pylist()
+
 
 def test_pagerank_checkpoint_resume_bit_identical(tmp_path):
     """F7: kill after k iterations, resume, bit-identical final ranks."""
