@@ -37,10 +37,13 @@ import pyarrow.compute as pc
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
-if _REPO_DIR not in os.environ.get("PYTHONPATH", ""):
+# compare normalized PYTHONPATH ENTRIES (substring containment would
+# false-positive on e.g. /root/repo-x and skip the needed prepend)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_DIR not in [os.path.normpath(p)
+                     for p in _pp.split(os.pathsep) if p]:
     os.environ["PYTHONPATH"] = (
-        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH") else _REPO_DIR)
+        _REPO_DIR + os.pathsep + _pp if _pp else _REPO_DIR)
 
 
 # --------------------------------------------------------------- util

@@ -102,11 +102,12 @@ def bench_pagerank_scale() -> dict:
     from pagerank_ray.graph.pagerank import PageRankRunner
 
     gdir = _ensure_powerlaw(PL_N, PL_M, PL_P, undirected=False)
-    # measured knee on this box: beyond ~8 workers the per-iteration
-    # exchange (A^2 borrowed-ref registrations + A object puts)
-    # dominates this graph's 30M-edge compute — see BASELINE.md. The
-    # --scaling protocol (2 vs 8 cpus) is below the knee either way.
-    r = PageRankRunner(gdir, num_workers=min(NUM_CPUS, 8))
+    # full-width pool: one 1-CPU worker per core, <= P shards (the
+    # round-1 min(cpus, 8) cap is gone — re-measured 8/16/32 workers
+    # at 2.0/0.8/1.0 s after the exchange rework, see BASELINE.md).
+    # BENCH_PR_WORKERS overrides for knee measurements.
+    nw = int(os.environ.get("BENCH_PR_WORKERS", NUM_CPUS))
+    r = PageRankRunner(gdir, num_workers=nw)
     try:
         # warm up untimed: actor __init__ (shard load + CSR build) is
         # lazy — the metric is steady-state iteration throughput
@@ -177,7 +178,7 @@ def bench_cc_scale() -> dict:
     gdir = _ensure_powerlaw(CC_N, CC_M, PL_P, undirected=True)
     # warm up untimed (lazy actor __init__ loads + sorts the shards);
     # the metric is label-propagation round throughput
-    W, meta = create_workers(gdir, num_workers=min(NUM_CPUS, 8))
+    W, meta = create_workers(gdir, num_workers=NUM_CPUS)
     ray.get([w.ping.remote() for w in W])
     try:
         t0 = time.time()
@@ -293,7 +294,9 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same pagerank_scale input, fresh processes at 8 and 32 CPUs."""
+    """N vs 4N protocol (default SCALING_N=2 -> cpus 2 vs 8), fresh
+    processes, identical cached inputs. Worker pools track the cpu
+    count 1:1 (no cap)."""
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

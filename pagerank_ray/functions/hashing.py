@@ -24,6 +24,11 @@ def _m61_reduce(y: np.ndarray) -> np.ndarray:
 def _mulmod_m61(a: np.ndarray, h: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a·h + b) mod M61 without uint64 overflow (a < 2^61, h < 2^32).
 
+    Not on the hot path (MinHasher's 32-bit multiplier family needs
+    only one reduction) — kept as the full-width reference that the
+    property suite cross-checks the fast path against
+    (tests/test_properties.py::test_mulmod_m61_full_width_vs_fast_path).
+
     Split a = a_hi·2^32 + a_lo: a·h = a_hi·h·2^32 + a_lo·h, with
     a_hi·h < 2^61 and a_lo·h < 2^64 both representable; the ·2^32
     term reduces via 2^61 ≡ 1 (mod M61). A naive (a*h+b) % M61 in

@@ -93,6 +93,11 @@ class ShardState:
         self.pr_aw = None  # alpha * pr_w, filled at pr_init
         self.dst_concat = (offs[self.dst_part[psort]]
                            + self.dst_local[psort]).astype(idx_t)
+        # edge-range bounds per destination PART in psort order (P+1
+        # ints): the split exchange slices each destination group's
+        # edges contiguously out of pr_src/pr_aw/dst_concat
+        self.pr_part_bounds = np.searchsorted(
+            self.dst_part[psort], np.arange(P + 1))
         # init-only temporaries (weight, psort, raw dst) are NOT kept:
         # per-edge arrays retained for an actor's lifetime are exactly
         # src_local/indptr (frontier), dst_part/dst_local (CC/LPA),
@@ -139,10 +144,12 @@ class GraphWorker:
         # worker-group boundaries in concat space (contiguous shard
         # ranges -> contiguous segments), for the "split" exchange
         self.group_bounds = None
+        self.group_parts = None
         if all_groups is not None:
             self.group_bounds = [
                 (int(self.offs[g[0]]), int(self.offs[g[-1] + 1]))
                 for g in all_groups]
+            self.group_parts = [(g[0], g[-1] + 1) for g in all_groups]
         self.alpha = 0.85
         self._concat_buf = None
         self._int_buf = None
@@ -173,19 +180,19 @@ class GraphWorker:
             sh.x_prev = None
             out += (sh.v @ sh.v, sh.v.sum(),
                     sh.x_unnorm @ sh.x_unnorm, sh.x_unnorm @ sh.a)
-        if self._concat_buf is None:
-            self._concat_buf = np.zeros(self.n, dtype=np.float64)
+        # NOTE: the dense n-sized concat buffer is allocated lazily in
+        # pr_step1 — split-mode workers never hold O(n) state
         return tuple(float(x) for x in out)
 
     def pr_scale_v(self, v_norm: float) -> None:
         for sh in self.shards:
             sh.v /= v_norm
 
-    def pr_step1(self, s: float):
+    def _advance_x(self, s: float) -> float:
+        """Normalize the pending iterate by s, compute the deferred
+        residual, store x in x_prev. Returns resid (-1.0 first pass)."""
         resid = 0.0
         have_prev = True
-        buf = self._concat_buf
-        buf.fill(0.0)
         for sh in self.shards:
             x = sh.x_unnorm / s
             if sh.x_prev is None:
@@ -194,10 +201,19 @@ class GraphWorker:
                 diff = x - sh.x_prev
                 resid += float(diff @ diff)
             sh.x_prev = x
+        return resid if have_prev else -1.0
+
+    def pr_step1(self, s: float):
+        resid = self._advance_x(s)
+        if self._concat_buf is None:
+            self._concat_buf = np.zeros(self.n, dtype=np.float64)
+        buf = self._concat_buf
+        buf.fill(0.0)
+        for sh in self.shards:
             if len(sh.pr_src):
-                val = sh.pr_aw * x[sh.pr_src]
+                val = sh.pr_aw * sh.x_prev[sh.pr_src]
                 np.add.at(buf, sh.dst_concat, val)
-        return (resid if have_prev else -1.0), buf
+        return resid, buf
 
     def pr_step2(self, partial_refs, q_scalar: float):
         arrays = ray.get(list(partial_refs)) if partial_refs and \
@@ -221,28 +237,43 @@ class GraphWorker:
     # contiguous shard ranges -> contiguous concat segments), so a
     # multi-node object store ships only the bytes each node needs
     # (n/A per pair) instead of pulling whole concat arrays (n per
-    # pair). Locally the concat mode wins (zero-copy slicing, fewer
-    # objects); select with PageRankRunner.run(exchange=...).
+    # pair) — and per-worker HEAP stays O(n/A): segment buffers are
+    # built one at a time against the contiguous per-part edge ranges
+    # (pr_part_bounds), ray.put, and freed; the receive side ray.gets
+    # inbound segments one at a time in fixed source order (same
+    # per-slot addition order as concat -> bit-identical results).
+    # On small pools the concat mode wins (zero-copy slicing, fewer
+    # objects); exchange="auto" picks by pool size.
 
     def pr_step1_split(self, s: float):
-        resid, buf = self.pr_step1(s)
-        out = [resid]
-        for lo, hi in self.group_bounds:
-            out.append(buf[lo:hi].copy())
-        return tuple(out)
+        resid = self._advance_x(s)
+        refs = []
+        for (lo, hi), (p0, p1) in zip(self.group_bounds,
+                                      self.group_parts):
+            buf = np.zeros(hi - lo, dtype=np.float64)
+            for sh in self.shards:
+                e0 = int(sh.pr_part_bounds[p0])
+                e1 = int(sh.pr_part_bounds[p1])
+                if e1 > e0:
+                    val = sh.pr_aw[e0:e1] * sh.x_prev[sh.pr_src[e0:e1]]
+                    np.add.at(buf, sh.dst_concat[e0:e1] - lo, val)
+            refs.append(ray.put(buf))
+            del buf
+        return resid, refs
 
     def pr_step2_split(self, chunk_refs, q_scalar: float):
-        chunks = ray.get(list(chunk_refs)) if chunk_refs and \
-            isinstance(chunk_refs[0], ray.ObjectRef) else chunk_refs
         base = int(self.offs[self.shard_ids[0]])
+        accs = [q_scalar * sh.v for sh in self.shards]
+        for ref in chunk_refs:
+            c = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            for i, sh in enumerate(self.shards):
+                lo = int(self.offs[sh.part]) - base
+                hi = int(self.offs[sh.part + 1]) - base
+                accs[i] = accs[i] + c[lo:hi]
+            del c
         ss = 0.0
         dot = 0.0
-        for sh in self.shards:
-            lo = int(self.offs[sh.part]) - base
-            hi = int(self.offs[sh.part + 1]) - base
-            acc = q_scalar * sh.v
-            for c in chunks:
-                acc = acc + c[lo:hi]
+        for sh, acc in zip(self.shards, accs):
             sh.x_unnorm = acc
             ss += float(acc @ acc)
             dot += float(acc @ sh.a)

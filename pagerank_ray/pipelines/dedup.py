@@ -150,12 +150,19 @@ def _attach_pair_sizes(pairs_ds, sizes_ds):
 
 def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                       num_bands: int = 16,
-                      threshold: float = 0.8) -> pa.Table:
+                      threshold: float = 0.8,
+                      join_partitions: int = 8) -> pa.Table:
     """MinHash banding candidates, exact-Jaccard verified.
 
     Returns (a, b, jaccard) sorted. Verification is a bucketed join:
     candidate pairs hash-join back to per-doc shingle-hash sets (a
     Dataset, never a driver-side map), then exact Jaccard per pair.
+
+    ``join_partitions`` sizes the three hash joins (bucket self-join
+    for candidates, two pair->shingle-set joins for verification).
+    The default suits test-scale corpora where join fixed costs
+    dominate; at real scale pass a value sized so one hash partition
+    of the bucket/shingle tables fits an aggregator's heap.
     """
     ds = _to_ds(docs).materialize()
 
@@ -176,19 +183,31 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                          "key": pa.array(key_out, pa.int64()),
                          "doc_id": pa.array(id_out, pa.int64())})
 
-    buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    buckets = sigs.map_batches(explode_bands,
+                               batch_format="pyarrow").materialize()
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-
-    cands = (buckets.groupby(["band", "key"])
-             .map_groups(pairs_in_bucket, batch_format="pandas")
-             .groupby(["a", "b"]).count())
+    # candidate pairs = bucket SELF-JOIN on (band, key) + doc_id<doc_id2
+    # filter (each unordered pair once per shared bucket), deduped by a
+    # groupby. Fully vectorized — the per-bucket map_groups it replaces
+    # made one Python call per (band, key) bucket (#docs x #bands of
+    # them) and dominated the pipeline.
+    b2 = buckets.map_batches(
+        lambda t: t.rename_columns(["band2", "key2", "doc_id2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cands = (hash_join(buckets, b2, on=("band", "key"),
+                       right_on=("band2", "key2"),
+                       num_partitions=join_partitions)
+             .map_batches(
+                 lambda t: pa.table({
+                     "a": t.column("doc_id"),
+                     "b": t.column("doc_id2")}).filter(
+                         pc.less(t.column("doc_id"),
+                                 t.column("doc_id2"))),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["a", "b"]).count()
+             .repartition(8)
+             .materialize())  # tiny; keeps the verify joins' DAG
+    #                           from overlapping three shuffle pools
 
     # exact verification: join candidate pairs back to per-doc shingle
     # sets (distributed). Sets travel as packed uint32 BINARY — crc32
@@ -203,7 +222,7 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
         })
 
     shingles = ds.map_batches(shingle_sets, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
 
     def rn(col):
         def f(t: pa.Table) -> pa.Table:
@@ -211,10 +230,13 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                 [col if c == "sh" else c for c in t.column_names])
         return f
 
-    joined = hash_join(cands, shingles, on=("a",), right_on=("doc_id",))
+    # candidate side is tiny (near-dup pairs), so small join pools
+    joined = hash_join(cands, shingles, on=("a",), right_on=("doc_id",),
+                       num_partitions=join_partitions)
     joined = joined.map_batches(rn("sh_a"), batch_format="pyarrow",
                                 zero_copy_batch=True)
-    joined = hash_join(joined, shingles, on=("b",), right_on=("doc_id",))
+    joined = hash_join(joined, shingles, on=("b",), right_on=("doc_id",),
+                       num_partitions=join_partitions)
     joined = joined.map_batches(rn("sh_b"), batch_format="pyarrow",
                                 zero_copy_batch=True)
 

@@ -8,94 +8,81 @@ window, which is the DuckDB oracle for the driver contract.
 Node names are stringified user ids so the graph layer's string node
 model applies unchanged.
 
-Scale shape: the groupby key is (event_type, time_bucket) — NOT bare
-event_type, which would funnel every event of a type through one
-group (5 unbounded groups at 100 TB). Buckets parallelize freely;
-the only cross-bucket pairs are each bucket's last event -> the next
-non-empty bucket's first event, stitched in one extra pass over the
-per-group boundary rows (one row per group — metadata-scale).
-Bucketing by ts is ORDER-SAFE: equal timestamps share a bucket, so
-the (ts, event_id) tiebreak never spans a boundary.
+Scale shape — distributed lead(): one range-partitioned SORT by
+(event_type, ts, event_id), then a VECTORIZED per-block pass emitting
+consecutive-pair edges where the type doesn't change, then a stitch
+pass joining each block's last row to the next block's first row
+(same type only). Per-block boundary rows are one row per block —
+metadata-scale — so no per-group Python calls anywhere (the round-1
+version funneled each event_type through one unbounded pandas group;
+the round-2a version made one Python call per (type, hour) bucket).
+The sort key is a total order (event_id is unique), so the output is
+deterministic and identical across block layouts.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
-_US_PER_HOUR = 3600 * 1_000_000
+
+@ray.remote
+def _block_edges(block: pa.Table):
+    """Edges inside one sorted block + its (first, last) boundary rows.
+
+    Returns (edge_table, first_type, first_user, last_type, last_user)
+    — boundary info is O(1) per block."""
+    et = block.column("event_type").to_numpy(zero_copy_only=False)
+    u = block.column("user_id").to_numpy()
+    if len(u) == 0:
+        return (pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string())}),
+                None, None, None, None)
+    same = et[:-1] == et[1:]
+    src = u[:-1][same]
+    dst = u[1:][same]
+    tbl = pa.table({
+        "src": pa.array(src.astype(str), pa.string()),
+        "dst": pa.array(dst.astype(str), pa.string()),
+    })
+    return (tbl, str(et[0]), int(u[0]), str(et[-1]), int(u[-1]))
 
 
-def edges_from_events(sf_dir: str, bucket_hours: int = 1):
+def edges_from_events(sf_dir: str):
     """-> Dataset of (src, dst) string edges."""
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"])
 
-    width = bucket_hours * _US_PER_HOUR
+    # event_id is unique -> the sort key is a total order; Ray's sort
+    # range-partitions into globally ordered blocks
+    sorted_ds = ds.sort(["event_type", "ts", "event_id"]).materialize()
+    block_refs = [ref for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+    results = [_block_edges.options(num_returns=5).remote(b)
+               for b in block_refs]
+    edge_refs = [r[0] for r in results]
+    bounds = ray.get([x for r in results for x in r[1:]])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64()).to_numpy()
-        return t.append_column("bucket", pa.array(us // width))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
-
-    def consecutive(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        u = g["user_id"].to_numpy()
-        # boundary row: this group's first/last user, for the stitch
-        # pass (src == "" marks it; user ids are stringified ints so
-        # "" never collides with a real node name)
-        et = g["event_type"].iloc[0]
-        b = int(g["bucket"].iloc[0])
-        edges = pd.DataFrame({
-            "src": u[:-1].astype(str) if len(u) > 1
-            else pd.Series([], dtype="string"),
-            "dst": u[1:].astype(str) if len(u) > 1
-            else pd.Series([], dtype="string"),
-        })
-        marker = pd.DataFrame({
-            "src": pd.Series([""], dtype="string"),
-            "dst": pd.Series([f"{et}\t{b}\t{u[0]}\t{u[-1]}"],
-                             dtype="string"),
-        })
-        return pd.concat([edges, marker], ignore_index=True)
-
-    grouped = bucketed.groupby(["event_type", "bucket"]).map_groups(
-        consecutive, batch_format="pandas")
-
-    def split_markers(t: pa.Table) -> pa.Table:
-        # pass real edges through; re-encode markers on a side column
-        is_marker = np.asarray(
-            t.column("src").to_numpy(zero_copy_only=False)) == ""
-        return t.append_column("is_marker", pa.array(is_marker))
-
-    tagged = grouped.map_batches(split_markers,
-                                 batch_format="pyarrow").materialize()
-
-    edges = tagged.filter(expr="is_marker == False") \
-        .drop_columns(["is_marker"])
-
-    # stitch pass: boundary rows only (one per (type, bucket) group)
-    markers = tagged.filter(expr="is_marker == True").take_all()
-    by_type: dict[str, list[tuple[int, str, str]]] = {}
-    for r in markers:
-        et, b, first_u, last_u = r["dst"].split("\t")
-        by_type.setdefault(et, []).append((int(b), first_u, last_u))
+    # stitch: block i's last row -> block i+1's first row, same type
+    # only (one candidate pair per block boundary — metadata-scale)
     src_out, dst_out = [], []
-    for et, rows in by_type.items():
-        rows.sort()
-        for (_, _, last_u), (_, first_u, _) in zip(rows, rows[1:]):
-            src_out.append(last_u)
-            dst_out.append(first_u)
+    prev_type = prev_user = None
+    for i in range(0, len(bounds), 4):
+        ft, fu, lt, lu = bounds[i:i + 4]
+        if ft is None:
+            continue  # empty block: carry prev through
+        if prev_type is not None and prev_type == ft:
+            src_out.append(str(prev_user))
+            dst_out.append(str(fu))
+        prev_type, prev_user = lt, lu
     boundary = rd.from_arrow(pa.table({
         "src": pa.array(src_out, pa.string()),
         "dst": pa.array(dst_out, pa.string())}))
-    return edges.union(boundary)
+    return rd.from_arrow_refs(edge_refs).union(boundary)
 
 
 EDGES_FROM_EVENTS_SQL = """

@@ -1,10 +1,11 @@
 """Single-process numpy oracles reproducing the reference semantics.
 
 Faithful float64 re-implementation of /root/reference/pagerank.py
-(verified against the README golden output for small.csv.gz: 23
-iterations to residual < 1e-6, ranks [4, 6, 5, 2, 3, 1] — SURVEY.md
-§5.2 / FIXTURES.md F1). torch/gensim are unavailable in-sandbox, so
-this oracle IS the conformance target for the engine.
+(verified against the README golden output for small.csv.gz: 24
+iterations — trace i=0..23 — to residual < 1e-6, ranks
+[4, 6, 5, 2, 3, 1] — SURVEY.md §5.2 / FIXTURES.md F1). torch/gensim
+are unavailable in-sandbox, so this oracle IS the conformance target
+for the engine.
 """
 
 from __future__ import annotations

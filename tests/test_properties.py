@@ -90,3 +90,24 @@ def test_minhash_estimates_jaccard(pair):
     b = np.sort(shingle_hashes(pair[1]))
     exact = jaccard(a, b)
     assert abs(est - exact) <= 0.25
+
+
+@given(st.integers(0, (1 << 61) - 2), st.integers(1, (1 << 32) - 1),
+       st.integers(0, (1 << 61) - 2))
+@settings(max_examples=200, deadline=None)
+def test_mulmod_m61_full_width_vs_fast_path(a, h, b):
+    """_mulmod_m61 (split-multiply, any a < 2^61) equals exact integer
+    arithmetic, and the MinHasher fast path (single reduction, a < 2^32)
+    agrees with it on its domain — keeps the full-width helper honest."""
+    from pagerank_ray.functions.hashing import (_m61_reduce, _mulmod_m61,
+                                                MERSENNE61)
+    M = (1 << 61) - 1
+    got = int(_mulmod_m61(np.array([a], dtype=np.uint64),
+                          np.array([h], dtype=np.uint64),
+                          np.array([b], dtype=np.uint64))[0])
+    assert got == (a * h + b) % M
+    if a < (1 << 32):
+        t = _m61_reduce(np.array([a], dtype=np.uint64)
+                        * np.uint64(h))
+        fast = int(_m61_reduce(t + np.uint64(b) % MERSENNE61)[0])
+        assert fast % M == (a * h + b) % M
