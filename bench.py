@@ -248,10 +248,40 @@ def bench_knn() -> dict:
     return {"sec": time.time() - t0, "rows": out.num_rows}
 
 
+def bench_membw() -> dict:
+    """Aggregate stream-triad memory bandwidth: one 1-CPU Ray task per
+    core, each a = 2*b + c over 64 MB float64 arrays (24 B moved per
+    element). Contextualizes the SpMV leg of --scaling: PageRank moves
+    ~40 B per edge (two int32 indices + float64 weight + gather +
+    scatter read-modify-write), so edges/s x 40 close to this number
+    means the box's bandwidth ceiling — not the engine — is binding."""
+    import ray
+
+    import numpy as np
+
+    @ray.remote(num_cpus=1)
+    def triad(n_elts: int, reps: int) -> float:
+        b = np.random.rand(n_elts)
+        c = np.random.rand(n_elts)
+        a = np.empty_like(b)
+        t0 = time.time()
+        for _ in range(reps):
+            np.multiply(b, 2.0, out=a)
+            np.add(a, c, out=a)
+        dt = time.time() - t0
+        # conventional triad accounting: 3 arrays x 8 B + write-allocate
+        return 32.0 * n_elts * reps / dt
+
+    refs = [triad.remote(8_000_000, 6) for _ in range(NUM_CPUS)]
+    per = ray.get(refs)
+    return {"sec": 0.0, "membw_gbps": round(sum(per) / 1e9, 2)}
+
+
 COMPONENTS = {
     "corpus_pipeline": bench_corpus_pipeline,
     "pagerank_scale": bench_pagerank_scale,
     "minhash_scale": bench_minhash_scale,
+    "membw": bench_membw,
     "cc_scale": bench_cc_scale,
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
@@ -269,6 +299,8 @@ def run_bench() -> dict:
     configure_data_context()
 
     only = os.environ.get("BENCH_ONLY")
+    # membw (sec 0.0) runs for context: its membw_gbps figure dates
+    # each record against the shared VM's 3-23 GB/s bandwidth swings
     names = only.split(",") if only else list(COMPONENTS)
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -278,6 +310,8 @@ def run_bench() -> dict:
         if "edges_per_sec_per_iter" in res:
             extra["edges_per_sec_per_iter"] = round(
                 res["edges_per_sec_per_iter"])
+        if "membw_gbps" in res:
+            extra["membw_gbps"] = round(res["membw_gbps"], 2)
     ray.shutdown()
 
     out = {
@@ -296,11 +330,14 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """N vs 4N protocol (default SCALING_N=2 -> cpus 2 vs 8), fresh
     processes, identical cached inputs. Worker pools track the cpu
-    count 1:1 (no cap)."""
+    count 1:1 (no cap). Each level also reports the box's aggregate
+    stream bandwidth at that cpu count (membw_gbps) plus PageRank's
+    achieved bytes/s, so the bandwidth-bound leg is evidenced, not
+    asserted."""
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_ONLY="pagerank_scale,minhash_scale")
+                   BENCH_ONLY="pagerank_scale,minhash_scale,membw")
         outs = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -327,6 +364,14 @@ def run_scaling() -> dict:
         out[f"{comp}_efficiency"] = round((t_lo / t_hi) / 4, 3)
     out["edges_per_sec_per_iter_lo"] = lo.get("edges_per_sec_per_iter")
     out["edges_per_sec_per_iter_hi"] = hi.get("edges_per_sec_per_iter")
+    # bandwidth-ceiling evidence: SpMV moves ~40 B/edge; achieved
+    # bytes/s vs the same-process stream probe shows how much of the
+    # box the kernel already uses at each level
+    for tag, r in (("lo", lo), ("hi", hi)):
+        eps = r.get("edges_per_sec_per_iter")
+        out[f"membw_gbps_{tag}"] = r.get("membw_gbps")
+        if eps:
+            out[f"pagerank_gbps_{tag}"] = round(eps * 40 / 1e9, 2)
     out["scaling_efficiency"] = out["minhash_scale_efficiency"]
     return out
 

@@ -311,22 +311,44 @@ class GraphWorker:
             sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
                 + sh.part
             sh.active = None  # None -> full frontier first round
-        if self._int_buf is None:
-            self._int_buf = np.empty(self.n, dtype=np.int64)
+        # dense exchange buffer allocated lazily in cc_step1 (sparse
+        # rounds never need it)
         return sum(sh.n_local for sh in self.shards)
 
     def cc_step1(self):
-        """Min-label messages from each shard's frontier, combined into
-        one sentinel-initialized concat buffer."""
-        buf = self._int_buf
-        buf.fill(self.n)
+        """Min-label messages from each shard's frontier.
+
+        Dense form: one sentinel-initialized concat buffer (8n bytes).
+        Sparse form: deduped sorted (tgt, min_label) pairs — emitted
+        when the frontier addresses < n/2 distinct slots, so late
+        rounds (tiny deltas) ship bytes proportional to the FRONTIER,
+        not the graph. Min is commutative/idempotent -> results are
+        identical either way."""
+        tgts, labs = [], []
         for sh in self.shards:
             sel = sh.frontier_edges()
             if len(sel) == 0:
                 continue
-            lab = sh.labels[sh.src_local[sel]]
-            tgt = sh.offs[sh.dst_part[sel]] + sh.dst_local[sel]
-            np.minimum.at(buf, tgt, lab)
+            labs.append(sh.labels[sh.src_local[sel]])
+            tgts.append(sh.offs[sh.dst_part[sel]] + sh.dst_local[sel])
+        if not tgts:
+            return ("sparse", np.empty(0, np.int64),
+                    np.empty(0, np.int64))
+        tgt = np.concatenate(tgts)
+        lab = np.concatenate(labs)
+        # dedup to min label per target (lexsort -> first per tgt)
+        order = np.lexsort((lab, tgt))
+        tgt, lab = tgt[order], lab[order]
+        first = np.ones(len(tgt), dtype=bool)
+        first[1:] = tgt[1:] != tgt[:-1]
+        tgt, lab = tgt[first], lab[first]
+        if 2 * len(tgt) < self.n:
+            return ("sparse", tgt, lab)
+        if self._int_buf is None:
+            self._int_buf = np.empty(self.n, dtype=np.int64)
+        buf = self._int_buf
+        buf.fill(self.n)
+        buf[tgt] = lab
         return buf
 
     def cc_step2(self, partial_refs) -> int:
@@ -337,7 +359,13 @@ class GraphWorker:
             lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
             combined = np.full(sh.n_local, np.int64(self.n))
             for p in arrays:
-                np.minimum(combined, p[lo:hi], out=combined)
+                if isinstance(p, tuple):  # ("sparse", tgt, lab)
+                    _, tgt, lab = p
+                    i0 = np.searchsorted(tgt, lo)
+                    i1 = np.searchsorted(tgt, hi)
+                    np.minimum.at(combined, tgt[i0:i1] - lo, lab[i0:i1])
+                else:
+                    np.minimum(combined, p[lo:hi], out=combined)
             changed = combined < sh.labels
             sh.labels = np.where(changed, combined, sh.labels)
             sh.active = changed

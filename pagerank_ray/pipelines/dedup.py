@@ -96,17 +96,20 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8) -> pa.Table:
                                           pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        k = len(ids)
-        if k < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(k, k=1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-
-    inter = (grams.groupby("gram").map_groups(pairs_in_group,
-                                              batch_format="pandas")
+    # pair intersections via gram SELF-JOIN (vectorized; one Python
+    # call per distinct gram in the old map_groups form). Hot-gram d^2
+    # blowup is inherent to the exact algorithm and documented above.
+    g2 = grams.map_batches(
+        lambda t: t.rename_columns(["gram2", "doc_id2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    inter = (hash_join(grams, g2, on=("gram",), right_on=("gram2",))
+             .map_batches(
+                 lambda t: pa.table({
+                     "a": t.column("doc_id"),
+                     "b": t.column("doc_id2")}).filter(
+                         pc.less(t.column("doc_id"),
+                                 t.column("doc_id2"))),
+                 batch_format="pyarrow", zero_copy_batch=True)
              .groupby(["a", "b"]).count())
 
     with_sizes = _attach_pair_sizes(inter, sizes)
@@ -137,6 +140,11 @@ def _attach_pair_sizes(pairs_ds, sizes_ds):
             return t.rename_columns(
                 [col if c == "sz" else c for c in t.column_names])
         return f
+
+    # coalesce first: upstream joins emit EMPTY-SCHEMA blocks for
+    # empty hash partitions, which a downstream join's FieldRef
+    # resolution rejects; repartition normalizes the block schemas
+    pairs_ds = pairs_ds.repartition(8)
 
     j = hash_join(pairs_ds, sizes_ds, on=("a",), right_on=("doc_id",))
     j = j.map_batches(rn("sz_a"), batch_format="pyarrow",
@@ -299,25 +307,35 @@ def simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:
                          "doc_id": pa.array(id_out, pa.int64()),
                          "simhash": pa.array(sh_out, pa.int64())})
 
-    buckets = sh.map_batches(explode, batch_format="pyarrow")
+    buckets = sh.map_batches(explode,
+                             batch_format="pyarrow").materialize()
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = sub["doc_id"].to_numpy()
-        vals = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        k = len(ids)
-        if k < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(k, k=1)
-        d = hamming64(vals[iu], vals[ju])
+    # bucket SELF-JOIN on (band, key) + vectorized Hamming verify (one
+    # Python call per bucket in the old map_groups form)
+    b2 = buckets.map_batches(
+        lambda t: t.rename_columns(["band2", "key2", "doc_id2",
+                                    "simhash2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("doc_id").to_numpy()
+        b = t.column("doc_id2").to_numpy()
+        mask = a < b
+        a, b = a[mask], b[mask]
+        va = t.column("simhash").to_numpy()[mask].astype(
+            np.int64).view(np.uint64)
+        vb = t.column("simhash2").to_numpy()[mask].astype(
+            np.int64).view(np.uint64)
+        d = hamming64(va, vb)
         keep = d <= max_hamming
-        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep],
-                             "hamming": d[keep]})
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep]),
+                         "hamming": pa.array(d[keep])})
 
-    pairs = (buckets.groupby(["band", "key"])
-             .map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = (hash_join(buckets, b2, on=("band", "key"),
+                       right_on=("band2", "key2"), num_partitions=8)
+             .map_batches(verify, batch_format="pyarrow",
+                          zero_copy_batch=True)
              .groupby(["a", "b"]).min("hamming"))
     rows = sorted((r["a"], r["b"], r["min(hamming)"])
                   for r in pairs.take_all())
