@@ -10,7 +10,8 @@ explode the wedge stage).
 Stages (each a Ray Data op; shuffles are the groupbys):
   1. canonicalize + dedup undirected edges      [groupby (u,v)]
   2. vertex degrees                              [groupby vertex]
-  3. orient by (degree, id)  (broadcast degree array via ray.put)
+  3. orient by (degree, id) — dense degree broadcast on the small-
+     graph path; two partitioned degree joins on the scale path
   4. wedges per source a: partitioned SELF-JOIN on a, kb<kb2 filter
   5. close wedges against oriented edges: partitioned hash join (b,c)
   6. per-vertex counts (3 emits per triangle)    [groupby vertex]
@@ -69,42 +70,69 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
                                t.column("v").to_numpy()])
         return pa.table({"vertex": pa.array(both)})
 
-    deg_rows = (undirected.map_batches(emit_verts, batch_format="pyarrow")
-                .groupby("vertex").count().take_all())
-    deg = np.zeros(n, dtype=np.int64)
-    for r in deg_rows:
-        deg[r["vertex"]] = r["count()"]
-    deg_ref = ray.put(deg)
+    deg_ds = (undirected.map_batches(emit_verts, batch_format="pyarrow")
+              .groupby("vertex").count())
 
-    class Orient:
-        def __init__(self, deg_ref):
-            self.deg = ray.get(deg_ref) if isinstance(
-                deg_ref, ray.ObjectRef) else deg_ref
+    def _orient(u, v, du, dv):
+        """Orient each edge from lower (deg, id) to higher (deg, id);
+        kb = total-order key of the head endpoint — wedge pairs must
+        be ordered by the SAME (deg, id) order the orientation uses,
+        or closing edges are looked up in the wrong direction.
+        Key packing bound: deg*(n+1)+id needs n^2 < 2^63."""
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        db = np.where(u_first, dv, du)
+        kb = db * np.int64(n + 1) + b
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "kb": pa.array(kb)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            u = t.column("u").to_numpy()
-            v = t.column("v").to_numpy()
-            du, dv = self.deg[u], self.deg[v]
-            # orient from lower (deg, id) to higher (deg, id)
-            u_first = (du < dv) | ((du == dv) & (u < v))
-            a = np.where(u_first, u, v)
-            b = np.where(u_first, v, u)
-            n = len(self.deg)
-            # total-order key of the head endpoint: wedge pairs must be
-            # ordered by the SAME (deg, id) order the orientation uses,
-            # or closing edges are looked up in the wrong direction.
-            # key packing bound: deg*(n+1)+id needs n^2 < 2^63.
-            kb = self.deg[b] * np.int64(n + 1) + b
-            return pa.table({"a": pa.array(a), "b": pa.array(b),
-                             "kb": pa.array(kb)})
-
-    oriented = undirected.map_batches(
-        Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
-        concurrency=(1, 4)).materialize()
-
-    n_edges = oriented.count()
+    n_edges = undirected.count()
     if n_edges <= broadcast_threshold:
+        # small graph: dense degree array broadcast once via ray.put
+        deg = np.zeros(n, dtype=np.int64)
+        for r in deg_ds.take_all():
+            deg[r["vertex"]] = r["count()"]
+        deg_ref = ray.put(deg)
+
+        class Orient:
+            def __init__(self, deg_ref):
+                self.deg = ray.get(deg_ref) if isinstance(
+                    deg_ref, ray.ObjectRef) else deg_ref
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t.column("u").to_numpy()
+                v = t.column("v").to_numpy()
+                return _orient(u, v, self.deg[u], self.deg[v])
+
+        oriented = undirected.map_batches(
+            Orient, fn_constructor_args=(deg_ref,),
+            batch_format="pyarrow", concurrency=(1, 4)).materialize()
         return _close_broadcast(oriented, names, n)
+
+    # scale path: degrees attach via two partitioned hash joins (the
+    # dense degree broadcast above is O(n) per worker — unusable at
+    # billion-node scale), then orientation is a vectorized map
+    from ..stages.join import hash_join
+
+    d2 = deg_ds.map_batches(
+        lambda t: t.rename_columns(["vertex2", "cnt2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_du = hash_join(
+        undirected, deg_ds, on=("u",), right_on=("vertex",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["du" if c == "count()" else c for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_dv = hash_join(
+        with_du, d2, on=("v",), right_on=("vertex2",))
+
+    oriented = with_dv.map_batches(
+        lambda t: _orient(t.column("u").to_numpy(),
+                          t.column("v").to_numpy(),
+                          t.column("du").to_numpy().astype(np.int64),
+                          t.column("cnt2").to_numpy().astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     # wedges: all out-neighbor pairs of each a, ordered by the
     # orientation's (deg, id) total order (kb), so the closing edge
