@@ -56,6 +56,21 @@ class HyperLogLog:
             dtype=np.uint64, count=len(values))
         self.add_hashes(h)
 
+    def add_ints(self, v: np.ndarray) -> None:
+        """Vectorized path for integer columns: splitmix64 finalizer
+        (full-avalanche uint64 mixing, deterministic everywhere) —
+        no per-row Python hashing."""
+        if len(v) == 0:
+            return
+        with np.errstate(over="ignore"):
+            z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(
+                0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(
+                0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        self.add_hashes(z)
+
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
         np.maximum(self.registers, other.registers, out=self.registers)
@@ -88,7 +103,11 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        h.add_strings(t.column(column).to_pylist())
+        col = t.column(column)
+        if pa.types.is_integer(col.type):
+            h.add_ints(col.to_numpy())
+        else:
+            h.add_strings(col.to_pylist())
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     merged = HyperLogLog(p)

@@ -97,13 +97,25 @@ def hash_str(s: str) -> int:
 def degree_histogram(ds, key: str, num_buckets: int = 32) -> pa.Table:
     """log2-bucketed histogram of group sizes — drives the decision of
     WHEN to salt (SURVEY.md §4.2(2): salt keys whose count exceeds the
-    per-reducer budget)."""
-    counts = grouped_count(ds, key).to_pandas()["cnt"].to_numpy()
-    if len(counts) == 0:
-        return pa.table({"log2_bucket": pa.array([], pa.int32()),
-                         "num_keys": pa.array([], pa.int64())})
-    b = np.minimum(np.log2(np.maximum(counts, 1)).astype(np.int32),
-                   num_buckets - 1)
-    uk, c = np.unique(b, return_counts=True)
-    return pa.table({"log2_bucket": pa.array(uk, pa.int32()),
-                     "num_keys": pa.array(c.astype(np.int64))})
+    per-reducer budget).
+
+    Bucketing happens inside map_batches over the grouped counts and
+    only the <= num_buckets histogram rows reach the driver (the
+    per-key count table itself can be as large as the key space)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy()
+        b = np.minimum(np.log2(np.maximum(c, 1)).astype(np.int32),
+                       num_buckets - 1)
+        return pa.table({"log2_bucket": pa.array(b, pa.int32())})
+
+    rows = (grouped_count(ds, key)
+            .map_batches(bucketize, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("log2_bucket").count().take_all())
+    rows.sort(key=lambda r: r["log2_bucket"])
+    return pa.table({
+        "log2_bucket": pa.array([r["log2_bucket"] for r in rows],
+                                pa.int32()),
+        "num_keys": pa.array([r["count()"] for r in rows], pa.int64()),
+    })

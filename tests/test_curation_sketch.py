@@ -88,3 +88,20 @@ def test_hll_distinct_dataset():
         [f"u{i % 137}" for i in range(5000)], pa.string())})
     est = hll_distinct(rd.from_arrow(t), "user", p=12)
     assert est == pytest.approx(137, rel=0.08)
+
+
+def test_hll_int_path_accuracy_and_merge():
+    """The vectorized splitmix64 int path meets the same accuracy bar
+    as the blake2b string path and merges register-wise."""
+    rng = np.random.default_rng(11)
+    vals = rng.choice(200_000, size=80_000, replace=False)
+    h = HyperLogLog(p=12)
+    h.add_ints(vals)
+    est = h.estimate()
+    assert abs(est - len(vals)) / len(vals) < 0.05
+    # merge of two halves == one sketch over the union
+    h1, h2 = HyperLogLog(p=12), HyperLogLog(p=12)
+    h1.add_ints(vals[:40_000])
+    h2.add_ints(vals[40_000:])
+    h1.merge(h2)
+    assert (h1.registers == h.registers).all()
