@@ -124,15 +124,22 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
         lambda t: t.rename_columns(
             ["du" if c == "count()" else c for c in t.column_names]),
         batch_format="pyarrow", zero_copy_batch=True)
+    from ..stages.join import default_join_partitions
+    nparts = default_join_partitions()
+    # repartitions between chained joins coalesce the empty-schema
+    # blocks a join emits for empty hash partitions (they break the
+    # next join's key resolution on small graphs)
     with_dv = hash_join(
-        with_du, d2, on=("v",), right_on=("vertex2",))
+        with_du.repartition(nparts), d2, on=("v",),
+        right_on=("vertex2",))
 
     oriented = with_dv.map_batches(
         lambda t: _orient(t.column("u").to_numpy(),
                           t.column("v").to_numpy(),
                           t.column("du").to_numpy().astype(np.int64),
                           t.column("cnt2").to_numpy().astype(np.int64)),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+        batch_format="pyarrow",
+        zero_copy_batch=True).repartition(nparts).materialize()
 
     # wedges: all out-neighbor pairs of each a, ordered by the
     # orientation's (deg, id) total order (kb), so the closing edge
@@ -159,8 +166,8 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     edge_keys = oriented.map_batches(
         lambda t: pa.table({"eb": t.column("a"), "ec": t.column("b")}),
         batch_format="pyarrow", zero_copy_batch=True)
-    closed = hash_join(wedge_ds, edge_keys, on=("wb", "wc"),
-                       right_on=("eb", "ec"))
+    closed = hash_join(wedge_ds.repartition(nparts), edge_keys,
+                       on=("wb", "wc"), right_on=("eb", "ec"))
 
     def emit_tri_verts(t: pa.Table) -> pa.Table:
         return pa.table({"vertex": pa.concat_arrays([

@@ -91,21 +91,11 @@ def curate_documents(sf_dir: str, lang: str = "en",
                                 zero_copy_batch=True)
 
     if keeper_mode == "join":
-        # keeper ids as a DATASET: sha256 -> groupby -> min doc_id,
-        # then a partitioned semi-join onto the filtered ids
-        def hash_batch(t: pa.Table) -> pa.Table:
-            hs = [hashlib.sha256(x.encode("utf-8")).hexdigest()
-                  for x in t.column("text").to_pylist()]
-            return pa.table({"h": pa.array(hs, pa.string()),
-                             "doc_id": t.column("doc_id")})
-
-        keepers_ds = (docs.map_batches(hash_batch, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-                      .groupby("h").min("doc_id")
-                      .map_batches(
-                          lambda t: pa.table(
-                              {"keep_id": t.column("min(doc_id)")}),
-                          batch_format="pyarrow", zero_copy_batch=True))
+        # keeper ids as a DATASET, semi-joined onto the filtered ids
+        from ..pipelines.dedup import exact_dedup_dataset
+        keepers_ds = exact_dedup_dataset(docs).map_batches(
+            lambda t: t.rename_columns(["keep_id"]),
+            batch_format="pyarrow", zero_copy_batch=True)
         return hash_join(filtered, keepers_ds, on=("doc_id",),
                          right_on=("keep_id",))
 

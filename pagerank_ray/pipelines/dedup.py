@@ -43,8 +43,10 @@ def _to_ds(x):
 
 # ---------------------------------------------------------------- exact
 
-def exact_dedup(docs) -> pa.Table:
-    """Keep min doc_id per distinct text. Returns (doc_id) sorted.
+def exact_dedup_dataset(docs):
+    """Keeper ids (min doc_id per distinct text) as a DATASET — the
+    form downstream stages join against at scale (see
+    curation.curate_documents keeper_mode="join").
 
     Hash first (sha256 inside map_batches) so the groupby shuffles
     64-char keys, not document bodies.
@@ -57,10 +59,19 @@ def exact_dedup(docs) -> pa.Table:
         return pa.table({"h": pa.array(hs, pa.string()),
                          "doc_id": t.column("doc_id")})
 
-    kept = (ds.map_batches(hash_batch, batch_format="pyarrow",
+    return (ds.map_batches(hash_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby("h").min("doc_id"))
-    ids = sorted(r["min(doc_id)"] for r in kept.take_all())
+            .groupby("h").min("doc_id")
+            .map_batches(
+                lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+
+def exact_dedup(docs) -> pa.Table:
+    """Keeper id list as a sorted driver-side table (the query result
+    itself — collection IS the operator's output here)."""
+    ids = sorted(r["doc_id"]
+                 for r in exact_dedup_dataset(docs).take_all())
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
@@ -149,6 +160,7 @@ def _attach_pair_sizes(pairs_ds, sizes_ds):
     j = hash_join(pairs_ds, sizes_ds, on=("a",), right_on=("doc_id",))
     j = j.map_batches(rn("sz_a"), batch_format="pyarrow",
                       zero_copy_batch=True)
+    j = j.repartition(8)  # join outputs also carry empty-schema blocks
     j = hash_join(j, sizes_ds, on=("b",), right_on=("doc_id",))
     return j.map_batches(rn("sz_b"), batch_format="pyarrow",
                          zero_copy_batch=True)
@@ -243,6 +255,7 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                        num_partitions=join_partitions)
     joined = joined.map_batches(rn("sh_a"), batch_format="pyarrow",
                                 zero_copy_batch=True)
+    joined = joined.repartition(8)  # coalesce empty-schema join blocks
     joined = hash_join(joined, shingles, on=("b",), right_on=("doc_id",),
                        num_partitions=join_partitions)
     joined = joined.map_batches(rn("sh_b"), batch_format="pyarrow",
