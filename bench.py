@@ -67,9 +67,13 @@ def _ensure_powerlaw(n: int, m: int, P: int, undirected: bool) -> str:
 def _ensure_corpus() -> str:
     from pagerank_ray.sources.synth import write_corpus
 
-    cdir = f"{CACHE}/corpus_r20_f500"
+    # sharded layout (10 files): ds.stats() showed the single-file
+    # corpus serialized the parquet read into ONE task (3 s of a 6 s
+    # pipeline) — shard-per-file is also the resumable-output rule
+    cdir = f"{CACHE}/corpus_r20_f500_sharded"
     if not os.path.exists(cdir):
-        write_corpus(cdir, num_repos=20, files_per_repo=500)
+        write_corpus(cdir, num_repos=20, files_per_repo=500,
+                     rows_per_file=1000)
     return cdir
 
 

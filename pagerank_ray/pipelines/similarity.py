@@ -164,24 +164,28 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
         p = ray.get(probe_ref) if isinstance(
             probe_ref, ray.ObjectRef) else probe_ref
         b = int(g["bucket"].iloc[0])
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64")})
         if b not in p:
-            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                 "neighbor_id": pd.Series([], dtype="int64"),
-                                 "cos_sim": pd.Series([], dtype="float64")})
+            return empty
         ids = g["vec_id"].to_numpy()
         m = _normalize(np.stack(
             [np.asarray(v, np.float64) for v in g["embedding"]]))
-        out_q, out_n, out_s = [], [], []
-        for qid, qv in p[b]:
-            qn = qv / max(np.linalg.norm(qv), 1e-300)
-            sims = m @ qn
-            for i in np.argsort(-sims)[:k + 1]:
-                if ids[i] != qid:
-                    out_q.append(qid)
-                    out_n.append(ids[i])
-                    out_s.append(sims[i])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                             "cos_sim": out_s})
+        qids = np.array([qid for qid, _ in p[b]], dtype=np.int64)
+        qmat = _normalize(np.stack([qv for _, qv in p[b]]))
+        sims = qmat @ m.T                              # (Q, B)
+        sims[qids[:, None] == ids[None, :]] = -np.inf  # self-matches
+        kk = min(k + 1, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        out_q = np.repeat(qids, kk)
+        out_n = ids[idx].ravel()
+        out_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(out_s)
+        return pd.DataFrame({"query_id": out_q[keep],
+                             "neighbor_id": out_n[keep],
+                             "cos_sim": out_s[keep]})
 
     import functools
     cand = bucketed.groupby("bucket").map_groups(
