@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pagerank_ray.pipelines.relational import (
         asof_join_events_orders, broadcast_join_orders_customer,
+        range_join_events, topk_docs_per_lang,
         windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
@@ -359,6 +360,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_asof_join(sf_dir):
         _quiet()
         return asof_join_events_orders(sf_dir)
+
+    def q_range_join(sf_dir):
+        _quiet()
+        return range_join_events(sf_dir, minutes=60)
+
+    def q_topk_docs_per_lang(sf_dir):
+        _quiet()
+        return topk_docs_per_lang(sf_dir, k=3)
 
     def q_broadcast_join(sf_dir):
         _quiet()
@@ -427,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
         "asof_join_events_orders": q_asof_join,
+        "range_join_events": q_range_join,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
         "broadcast_join_orders_customer": q_broadcast_join,
         "media_features": q_media_features,
     }
@@ -512,7 +523,8 @@ _FINGERPRINT_SQL = """
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
-        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, WINDOWED_EVENT_AGG_SQL)
+        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, RANGE_JOIN_SQL,
+        TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
 
     return {
         # langid: same stopword table + RE2 patterns as LangId
@@ -549,6 +561,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(
             us=60 * 60_000_000),
         "asof_join_events_orders": ASOF_JOIN_SQL,
+        "range_join_events": RANGE_JOIN_SQL.format(minutes=60),
+        "topk_docs_per_lang": TOPK_PER_LANG_SQL.format(k=3),
         "broadcast_join_orders_customer": BROADCAST_JOIN_SQL,
         "edges_from_events": _EDGES,
 

@@ -146,6 +146,133 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
         merge_bucket, batch_format="pandas")
 
 
+def range_join_events(sf_dir: str, minutes: int = 60,
+                      num_buckets: int = 32):
+    """(event_id, next_event_id): pairs of SAME-USER events where the
+    second falls in (ts, ts + minutes] of the first — an interval /
+    range join, the general form of the as-of join (which keeps one
+    row per probe).
+
+    Shape: hash-bucket on user_id (one groupby shuffle), then one
+    vectorized per-bucket sort + two searchsorteds delimiting each
+    event's window — no per-user Python loop, no pairwise blowup
+    beyond the true output size.
+    """
+    span_us = np.int64(minutes) * 60_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(u % num_buckets),
+            "u": pa.array(u),
+            "t": t.column("ts").cast(pa.int64()),
+            "id": t.column("event_id"),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"]).map_batches(
+            bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "t", "id"], kind="stable")
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        ids = g["id"].to_numpy()
+        # per-user time-sorted runs; each run's window bounds come
+        # from two searchsorteds and pairs expand with the standard
+        # grouped-arange trick (pure numpy, output-sized work)
+        out_a, out_b = [], []
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        run_ends = np.concatenate((run_starts[1:], [len(u)]))
+        for s, e in zip(run_starts, run_ends):
+            tt = t[s:e]
+            l = np.searchsorted(tt, tt, side="right")
+            h = np.searchsorted(tt, tt + span_us, side="right")
+            cnt = h - l
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            src = np.repeat(np.arange(e - s), cnt)
+            dst = np.repeat(l - cnt.cumsum() + cnt, cnt) \
+                + np.arange(total)
+            out_a.append(ids[s:e][src])
+            out_b.append(ids[s:e][dst])
+        if not out_a:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "next_event_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_a).astype(np.int64),
+            "next_event_id": np.concatenate(out_b).astype(np.int64)})
+
+    return events.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+
+
+RANGE_JOIN_SQL = """
+    SELECT a.event_id, b.event_id AS next_event_id
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL {minutes} MINUTE
+"""
+
+
+def topk_docs_per_lang(sf_dir: str, k: int = 3):
+    """Per-group top-k: the k longest documents (n_tokens desc,
+    doc_id asc tiebreak) per language, with dense rank.
+
+    Partial per-batch top-k inside map_batches (the combiner bounds
+    the shuffle to k rows per lang per batch), then one tiny
+    per-lang merge. Returns (lang, doc_id, n_tokens, rnk).
+    """
+    from ..functions.text import token_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "doc_id": t.column("doc_id").to_numpy(),
+            "n_tokens": token_count(t.column("text")).to_numpy(),
+        })
+        df = df.sort_values(["lang", "n_tokens", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (docs.map_batches(partial_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("lang").map_groups(final_topk,
+                                        batch_format="pandas"))
+
+
+TOPK_PER_LANG_SQL = r"""
+    WITH scored AS (
+        SELECT lang, doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents),
+         ranked AS (
+        SELECT lang, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id ASC)
+                   AS rnk
+        FROM scored)
+    SELECT lang, doc_id, n_tokens, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 ASOF_JOIN_SQL = """
     SELECT e.event_id,
            (SELECT o.o_orderkey FROM orders o

@@ -53,3 +53,50 @@ def test_broadcast_join_matches_pandas():
     got = out.sort_values(["o_orderkey"]).reset_index(drop=True)
     exp = want.sort_values(["o_orderkey"]).reset_index(drop=True)
     assert (got["c_name"].to_numpy() == exp["c_name"].to_numpy()).all()
+
+
+def test_range_join_events_matches_bruteforce():
+    """Self range join (same user, (ts, ts+60min]) vs brute force."""
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import range_join_events
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["event_id"], r["next_event_id"])
+                 for r in range_join_events(sf, minutes=60).take_all())
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pylist()
+    span = 3600 * 1_000_000
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    want = []
+    for rows in by_user.values():
+        for a in rows:
+            for b in rows:
+                ta = a["ts"].timestamp() * 1e6
+                tb = b["ts"].timestamp() * 1e6
+                if ta < tb <= ta + span:
+                    want.append((a["event_id"], b["event_id"]))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_topk_docs_per_lang_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import topk_docs_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["lang"], r["rnk"], r["doc_id"], r["n_tokens"])
+                 for r in topk_docs_per_lang(sf, k=3).take_all())
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "lang", "text"]).to_pylist()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(
+            (len(d["text"].split()), d["doc_id"]))
+    want = []
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        for i, (ntok, did) in enumerate(rows[:3]):
+            want.append((lang, i + 1, did, ntok))
+    assert got == sorted(want)
