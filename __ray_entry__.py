@@ -350,8 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pagerank_ray.pipelines.relational import (
         asof_join_events_orders, broadcast_join_orders_customer,
-        range_join_events, topk_docs_per_lang,
-        windowed_event_agg)
+        distinct_users_per_type, quantiles_per_type,
+        range_join_events, topk_docs_per_lang, windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
         _quiet()
@@ -372,6 +372,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_broadcast_join(sf_dir):
         _quiet()
         return broadcast_join_orders_customer(sf_dir)
+
+    def q_quantiles_per_type(sf_dir):
+        _quiet()
+        return quantiles_per_type(sf_dir, qs=(0.25, 0.5, 0.9))
+
+    def q_distinct_users_per_type(sf_dir):
+        _quiet()
+        return distinct_users_per_type(sf_dir)
 
     # ---- curation composition + sketches ----
 
@@ -439,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": q_range_join,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "broadcast_join_orders_customer": q_broadcast_join,
+        "quantiles_per_type": q_quantiles_per_type,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "media_features": q_media_features,
     }
 
@@ -523,8 +533,9 @@ _FINGERPRINT_SQL = """
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
-        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, RANGE_JOIN_SQL,
-        TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
+        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
+        QUANTILES_SQL, RANGE_JOIN_SQL, TOPK_PER_LANG_SQL,
+        WINDOWED_EVENT_AGG_SQL)
 
     return {
         # langid: same stopword table + RE2 patterns as LangId
@@ -564,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": RANGE_JOIN_SQL.format(minutes=60),
         "topk_docs_per_lang": TOPK_PER_LANG_SQL.format(k=3),
         "broadcast_join_orders_customer": BROADCAST_JOIN_SQL,
+        "quantiles_per_type": QUANTILES_SQL,
+        "distinct_users_per_type": DISTINCT_USERS_SQL,
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

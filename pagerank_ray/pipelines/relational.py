@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -270,6 +271,103 @@ TOPK_PER_LANG_SQL = r"""
                    AS rnk
         FROM scored)
     SELECT lang, doc_id, n_tokens, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@ray.remote
+def _values_at(block: pa.Table, idxs: list[int]) -> list[float]:
+    col = block.column("value")
+    return [col[i].as_py() for i in idxs]
+
+
+def quantiles_per_type(sf_dir: str, qs=(0.25, 0.5, 0.9)) -> pa.Table:
+    """EXACT per-group quantiles by distributed sort + metadata
+    indexing (no per-group materialization): sort (event_type, value)
+    range-partitions the data; per-block row counts come from block
+    METADATA; each requested quantile maps to one global row index
+    (DuckDB quantile_disc semantics: element at max(0, ceil(q*n)-1))
+    and only those single rows are fetched, one task per touched
+    block. Returns (event_type, q, value).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    counts = {r["event_type"]: r["count()"]
+              for r in ds.groupby("event_type").count().take_all()}
+
+    sorted_ds = ds.sort(["event_type", "value"]).materialize()
+    blocks = [(ref, md.num_rows)
+              for bundle in sorted_ds.iter_internal_ref_bundles()
+              for ref, md in bundle.blocks]
+    offsets = np.concatenate(
+        [[0], np.cumsum([nr for _, nr in blocks])]).astype(np.int64)
+
+    types = sorted(counts)
+    starts = {}
+    acc = 0
+    for et in types:
+        starts[et] = acc
+        acc += counts[et]
+
+    wanted = []  # (event_type, q, global_idx)
+    for et in types:
+        n_t = counts[et]
+        for q in qs:
+            idx = min(n_t - 1, max(0, int(np.ceil(q * n_t)) - 1))
+            wanted.append((et, float(q), starts[et] + idx))
+
+    by_block: dict[int, list[int]] = {}
+    for wi, (_, _, gi) in enumerate(wanted):
+        b = int(np.searchsorted(offsets, gi, side="right") - 1)
+        by_block.setdefault(b, []).append(wi)
+    fetched: dict[int, float] = {}
+    refs = {b: _values_at.remote(
+        blocks[b][0],
+        [int(wanted[wi][2] - offsets[b]) for wi in wis])
+        for b, wis in by_block.items()}
+    for b, wis in by_block.items():
+        for wi, val in zip(wis, ray.get(refs[b])):
+            fetched[wi] = val
+
+    return pa.table({
+        "event_type": pa.array([w[0] for w in wanted], pa.string()),
+        "q": pa.array([w[1] for w in wanted], pa.float64()),
+        "value": pa.array([fetched[i] for i in range(len(wanted))],
+                          pa.float64()),
+    })
+
+
+QUANTILES_SQL = """
+    SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+           quantile_disc(value, 0.25) AS value FROM events GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5)
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9)
+    FROM events GROUP BY 1
+"""
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: two shuffles —
+    dedup on the pair, then count per type. Both scale freely (the
+    pair groupby spreads over the full key space; no hot single
+    group). Returns (event_type, distinct_users)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return (ds.groupby(["event_type", "user_id"]).count()
+            .groupby("event_type").count()
+            .map_batches(
+                lambda t: pa.table({
+                    "event_type": t.column("event_type"),
+                    "distinct_users": pc.cast(t.column("count()"),
+                                              pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+
+DISTINCT_USERS_SQL = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
 """
 
 

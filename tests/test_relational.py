@@ -100,3 +100,43 @@ def test_topk_docs_per_lang_matches_bruteforce():
         for i, (ntok, did) in enumerate(rows[:3]):
             want.append((lang, i + 1, did, ntok))
     assert got == sorted(want)
+
+
+def test_quantiles_per_type_exact():
+    """Distributed sort+index quantiles == numpy on the raw column,
+    with DuckDB quantile_disc index semantics (ceil(q*n)-1)."""
+    import math
+
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import quantiles_per_type
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["event_type"], r["q"]): r["value"]
+           for r in quantiles_per_type(sf, qs=(0.25, 0.5, 0.9))
+           .to_pylist()}
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pylist()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e["event_type"], []).append(e["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in (0.25, 0.5, 0.9):
+            idx = min(len(vals) - 1,
+                      max(0, math.ceil(q * len(vals)) - 1))
+            assert got[(et, q)] == vals[idx]
+
+
+def test_distinct_users_per_type_exact():
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import distinct_users_per_type
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["distinct_users"]
+           for r in distinct_users_per_type(sf).take_all()}
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pylist()
+    want = {}
+    for e in ev:
+        want.setdefault(e["event_type"], set()).add(e["user_id"])
+    assert got == {k: len(v) for k, v in want.items()}
