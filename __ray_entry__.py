@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                              quality_counts_batch,
                                              token_count)
     from pagerank_ray.pipelines.dedup import (embedding_cosine_pairs,
+                                              embedding_cosine_pairs_lsh,
                                               exact_dedup,
                                               minhash_lsh_pairs,
                                               ngram_jaccard_pairs,
@@ -331,6 +332,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             threshold=0.45)
 
+    def q_embedding_near_dup_lsh(sf_dir):
+        """Scale path for embedding_near_dup: multi-table hyperplane
+        LSH buckets + exact cosine verify; approximate (recall-gated
+        by pytest vs the brute-force baseline) -> rows-only."""
+        _quiet()
+        import ray.data as rd
+        return embedding_cosine_pairs_lsh(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.45)
+
     def q_knn_bruteforce(sf_dir):
         _quiet()
         import ray.data as rd
@@ -438,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "curate_documents": q_curate_documents,

@@ -359,6 +359,98 @@ def simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:
     })
 
 
+def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
+                               num_tables: int = 6, nbits: int = 6,
+                               seed: int = 42,
+                               num_partitions: int = 8) -> pa.Table:
+    """LSH-bucketed near-dup pairs — the scale path for
+    ``embedding_cosine_pairs``: ``num_tables`` independent random-
+    hyperplane tables of ``nbits`` bits bucket the vectors (groupby
+    shuffle); candidate pairs come from a bucket self-join over each
+    table's own bucket plus its Hamming-1 probes; cosine is verified
+    vectorized per batch. No all-pairs stage, no driver
+    materialization of the vectors. Approximate: recall =
+    1-(1-p_table)^L, recall-tested against brute force; the
+    L x (nbits+1) row fan-out is the standard multi-table/probe
+    space-vs-recall tradeoff.
+    """
+    from ..pipelines.similarity import _HyperplaneHasher, _normalize
+
+    ds = _to_ds(embs)
+    dim = len(ds.take(1)[0]["embedding"])
+    hasher = _HyperplaneHasher(dim, num_tables * nbits, seed)
+    href = ray.put(hasher)
+    mask = (1 << nbits) - 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
+        vid = t.column("vec_id").to_numpy()
+        m = _normalize(np.stack([
+            np.asarray(v, dtype=np.float64)
+            for v in t.column("embedding").to_pylist()]))
+        allbits = h.sign_bits(m).astype(np.int64)  # L*nbits packed
+        fan = nbits + 1
+        parts = []
+        for tb in range(num_tables):
+            key = (allbits >> np.int64(tb * nbits)) & np.int64(mask)
+            probes = key[:, None] ^ (np.int64(1) << np.arange(
+                nbits, dtype=np.int64))[None, :]
+            buckets = np.concatenate([key[:, None], probes], axis=1)
+            # table id in the high bits keeps tables' buckets disjoint
+            parts.append((np.int64(tb) << np.int64(nbits)) + buckets)
+        buckets = np.concatenate(parts, axis=1).ravel()
+        total_fan = num_tables * fan
+        rows = np.repeat(np.arange(len(vid)), total_fan)
+        own = np.tile(np.tile(np.concatenate(
+            [[1], np.zeros(nbits, dtype=np.int8)]).astype(np.int8),
+            num_tables), len(vid))
+        return pa.table({
+            "bucket": pa.array(buckets),
+            "vec_id": pa.array(vid[rows]),
+            "own": pa.array(own),
+            "vec": pa.array([m[r].tobytes() for r in rows],
+                            pa.binary()),
+        })
+
+    bucketed = ds.map_batches(bucketize,
+                              batch_format="pyarrow").materialize()
+
+    b2 = bucketed.map_batches(
+        lambda t: t.rename_columns(["bucket2", "vec_id2", "own2",
+                                    "vec2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id").to_numpy()
+        b = t.column("vec_id2").to_numpy()
+        # pair each OWN row with own-or-probe rows; a<b canonicalizes
+        # and dedups the symmetric probe pairing
+        mask = (a < b) & (t.column("own").to_numpy() == 1)
+        if not mask.any():
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in t.column("vec").to_pylist()])[mask]
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in t.column("vec2").to_pylist()])[mask]
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold
+        return pa.table({"a": pa.array(a[mask][keep]),
+                         "b": pa.array(b[mask][keep])})
+
+    pairs = (hash_join(bucketed, b2, on=("bucket",),
+                       right_on=("bucket2",),
+                       num_partitions=num_partitions)
+             .map_batches(verify, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["a", "b"]).count())
+    rows = sorted((r["a"], r["b"]) for r in pairs.take_all())
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_cosine_pairs(embs, threshold: float = 0.95) -> pa.Table:
