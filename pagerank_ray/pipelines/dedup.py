@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five dedup families (SURVEY-extension mandated by the build brief),
+Six dedup families (SURVEY-extension mandated by the build brief),
 each streaming over the ``documents`` table:
 
   exact_dedup           sha256(text) hash-partition groupby -> min doc_id
@@ -12,7 +12,10 @@ each streaming over the ``documents`` table:
   simhash_pairs         64-bit SimHash -> 16-bit band buckets ->
                         Hamming-verified pairs
   embedding_cosine_pairs near-dup pairs by cosine over an embedding
-                        column (brute-force verify; LSH-bucketed at scale)
+                        column (brute-force verify baseline)
+  embedding_cosine_pairs_lsh
+                        the scale path: multi-table hyperplane LSH
+                        buckets + probes, exact cosine verify
 
 All pair outputs are canonical (a < b), sorted, with integer columns
 (int intersection/union sizes instead of float Jaccard where a DuckDB

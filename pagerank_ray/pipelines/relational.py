@@ -11,7 +11,15 @@ Operators:
   asof_join_events_orders
                       each event joined to the latest order of the
                       same customer at-or-before the event time
-                      (bucketed merge_asof — the as-of pattern)
+                      (two-sided bucketed merge_asof)
+  range_join_events   same-user event pairs within a trailing window
+                      (interval join; searchsorted window bounds)
+  topk_docs_per_lang  per-group top-k with partial-top-k combiner
+  quantiles_per_type  EXACT per-group quantiles via distributed sort
+                      + block-metadata row indexing
+  distinct_users_per_type
+                      exact COUNT(DISTINCT) per group (pair-dedup
+                      shuffle -> per-group count)
   broadcast_join_orders_customer
                       classic small-side broadcast hash join
 """
