@@ -94,9 +94,8 @@ def build_graph(
 
     nodes_ids_ds = None
     if use_broadcast:
-        col = pa.concat_tables(
-            ray.get(nodes_distinct.to_arrow_refs())).column("node")
-        names = col.take(pc.sort_indices(col)).combine_chunks()
+        col = enc.collect_column(nodes_distinct, "node")
+        names = col.take(pc.sort_indices(col))
         encoded = enc.encode_edges(edges_ds, names)
     else:
         names = None

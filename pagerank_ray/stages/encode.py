@@ -63,6 +63,16 @@ def distinct_nodes_dataset(edges_ds):
     )
 
 
+def collect_column(ds, column: str) -> pa.Array:
+    """Collect one column of a Dataset to the driver, dropping the
+    EMPTY-SCHEMA blocks that shuffle stages emit for empty partitions
+    (concat_tables rejects them — race-dependent on tiny inputs)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return pa.array([], pa.string())
+    return pa.concat_tables(tables).column(column).combine_chunks()
+
+
 def distinct_nodes(edges_ds) -> pa.Array:
     """Sorted distinct node names collected to the driver.
 
@@ -71,9 +81,8 @@ def distinct_nodes(edges_ds) -> pa.Array:
     fast path); graph builds above ``broadcast_threshold`` names use
     ``distinct_nodes_dataset`` + ``assign_ids_sorted`` instead.
     """
-    tables = ray.get(distinct_nodes_dataset(edges_ds).to_arrow_refs())
-    col = pa.concat_tables(tables).column("node")
-    return col.take(pc.sort_indices(col)).combine_chunks()
+    col = collect_column(distinct_nodes_dataset(edges_ds), "node")
+    return col.take(pc.sort_indices(col))
 
 
 @ray.remote
