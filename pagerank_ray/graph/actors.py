@@ -351,6 +351,60 @@ class GraphWorker:
         buf[tgt] = lab
         return buf
 
+    def cc_step1_split(self, s_unused=None):
+        """Split-exchange form of cc_step1: the deduped sorted
+        (tgt, min_label) messages are cut at the destination-group
+        boundaries (one searchsorted each — tgt is sorted) and each
+        segment ships as its own object, sparse or dense by the same
+        2x rule against the SEGMENT length. Per-worker heap O(n/A);
+        min-combine keeps results identical to the concat form."""
+        msgs = self.cc_step1()
+        if isinstance(msgs, tuple):
+            _, tgt, lab = msgs
+        else:  # dense buffer -> recover the message pairs
+            tgt = np.flatnonzero(msgs < self.n)
+            lab = msgs[tgt]
+        refs = []
+        for lo, hi in self.group_bounds:
+            i0 = np.searchsorted(tgt, lo)
+            i1 = np.searchsorted(tgt, hi)
+            seg_t = tgt[i0:i1] - lo
+            seg_l = lab[i0:i1]
+            if 2 * len(seg_t) < (hi - lo):
+                refs.append(ray.put(("sparse", seg_t, seg_l)))
+            else:
+                buf = np.full(hi - lo, np.int64(self.n))
+                buf[seg_t] = seg_l
+                refs.append(ray.put(buf))
+        return refs
+
+    def cc_step2_split(self, chunk_refs) -> int:
+        base = int(self.offs[self.shard_ids[0]])
+        changed_total = 0
+        combined = {sh.part: np.full(sh.n_local, np.int64(self.n))
+                    for sh in self.shards}
+        for ref in chunk_refs:
+            p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            for sh in self.shards:
+                lo = int(self.offs[sh.part]) - base
+                hi = int(self.offs[sh.part + 1]) - base
+                c = combined[sh.part]
+                if isinstance(p, tuple):
+                    _, tgt, lab = p
+                    i0 = np.searchsorted(tgt, lo)
+                    i1 = np.searchsorted(tgt, hi)
+                    np.minimum.at(c, tgt[i0:i1] - lo, lab[i0:i1])
+                else:
+                    np.minimum(c, p[lo:hi], out=c)
+            del p
+        for sh in self.shards:
+            c = combined[sh.part]
+            changed = c < sh.labels
+            sh.labels = np.where(changed, c, sh.labels)
+            sh.active = changed
+            changed_total += int(changed.sum())
+        return changed_total
+
     def cc_step2(self, partial_refs) -> int:
         arrays = ray.get(list(partial_refs)) if partial_refs and \
             isinstance(partial_refs[0], ray.ObjectRef) else partial_refs

@@ -31,8 +31,17 @@ from .actors import create_workers, kill_workers
 
 def connected_components(graph_dir: str, max_rounds: int = 10_000,
                          workers=None,
-                         num_workers: int | None = None) -> pa.Table:
-    """Returns (id, node, label) sorted by id; label = min id in component."""
+                         num_workers: int | None = None,
+                         exchange: str = "auto") -> pa.Table:
+    """Returns (id, node, label) sorted by id; label = min id in component.
+
+    ``exchange``: "concat" ships one n-length (or sparse-delta)
+    partial per worker; "split" cuts each round's messages at
+    destination-group boundaries so per-worker heap and per-pair
+    bytes stay O(n/A) — same memory rule as PageRank's exchange.
+    "auto" picks split when n > 32M. Min-combine is commutative, so
+    results are identical across modes.
+    """
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "connected_components requires a graph built with undirected=True"
@@ -40,11 +49,20 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]
     A = len(W)
+    if exchange == "auto":
+        exchange = "split" if meta["n"] > 32_000_000 else "concat"
     try:
         ray.get([w.cc_init.remote() for w in W])
         for _ in range(max_rounds):
-            refs = [w.cc_step1.remote() for w in W]
-            changed = ray.get([w.cc_step2.remote(refs) for w in W])
+            if exchange == "split":
+                step1 = ray.get([w.cc_step1_split.remote() for w in W])
+                changed = ray.get([
+                    W[k].cc_step2_split.remote(
+                        [step1[j][k] for j in range(A)])
+                    for k in range(A)])
+            else:
+                refs = [w.cc_step1.remote() for w in W]
+                changed = ray.get([w.cc_step2.remote(refs) for w in W])
             if sum(changed) == 0:
                 break
         return collect_labels(W)

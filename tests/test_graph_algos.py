@@ -44,6 +44,21 @@ def test_connected_components_small_graph(tmp_path):
     assert len(set(got.values())) == 1  # small graph is one component
 
 
+def test_cc_split_exchange_matches_concat(tmp_path):
+    """Split (per-destination-segment) CC exchange returns the exact
+    same labels as the concat exchange — min-combine is commutative."""
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    a = connected_components(gdir, exchange="concat")
+    b = connected_components(gdir, exchange="split")
+    assert a.to_pylist() == b.to_pylist()
+    # also exact vs oracle through the split path
+    got = {r["node"]: r["label"] for r in b.to_pylist()}
+    assert got == connected_components_oracle(_pairs(edges))
+
+
 def test_label_propagation_exact(tmp_path):
     edges, _ = component_fixture_edges()
     gdir = str(tmp_path / "g")
