@@ -262,3 +262,12 @@ def test_write_ranks_resumable(tmp_path):
     total = sum(pq.read_table(os.path.join(out, f)).num_rows
                 for f in files)
     assert total == ranks.num_rows
+    # SAME ranks at a DIFFERENT partition count is a different layout:
+    # stale higher-numbered files must be wiped, not merged (the
+    # fingerprint covers row and partition counts, not just values)
+    write_ranks(ranks, out, num_partitions=2)
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(files2) == 2
+    total2 = sum(pq.read_table(os.path.join(out, f)).num_rows
+                 for f in files2)
+    assert total2 == ranks.num_rows
