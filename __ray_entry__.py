@@ -153,13 +153,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(cnt, preserve_index=False)
 
     def q_dangling_nodes(sf_dir):
+        """A3 as a distributed ANTI-join (nodes EXCEPT distinct src):
+        tag distinct nodes 0 and distinct sources 1, union, groupby —
+        nodes whose flag-sum is 0 have no outgoing edge. No driver-side
+        name set or Python loop (the engine-side dangling mass uses
+        ShardState.a; this is the query-surface form)."""
         _quiet()
+        from pagerank_ray.stages.encode import distinct_nodes_dataset
         edges = edges_from_events(sf_dir).materialize()
-        names = distinct_nodes(edges)
-        srcs = set(
-            r["src"] for r in edges.groupby("src").count().take_all())
-        dangling = [nm for nm in names.to_pylist() if nm not in srcs]
-        return pa.table({"node": pa.array(dangling, pa.string())})
+
+        def tag_nodes(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "flag": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            })
+
+        def tag_srcs(t: pa.Table) -> pa.Table:
+            u = pc.unique(t.column("src").combine_chunks())
+            return pa.table({
+                "node": u,
+                "flag": pa.array(np.ones(len(u), dtype=np.int64)),
+            })
+
+        nodes = distinct_nodes_dataset(edges).map_batches(
+            tag_nodes, batch_format="pyarrow", zero_copy_batch=True)
+        srcs = edges.map_batches(
+            tag_srcs, batch_format="pyarrow", zero_copy_batch=True)
+        def keep_dangling(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # empty-schema shuffle block
+                return pa.table({"node": pa.array([], pa.string())})
+            return pa.table({"node": t.column("node")}).filter(
+                pc.equal(t.column("sum(flag)"), 0))
+
+        dangling = (nodes.union(srcs).groupby("node").sum("flag")
+                    .map_batches(keep_dangling, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        df = dangling.to_pandas()
+        col = (df["node"].sort_values().tolist()
+               if "node" in df.columns else [])
+        return pa.table({"node": pa.array(col, pa.string())})
 
     def q_inlink_filter(sf_dir):
         """J2: drop edges whose target in-degree >= 0.5 * n."""
@@ -542,6 +574,57 @@ _FINGERPRINT_SQL = """
 """
 
 
+_SIMHASH_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents),
+         tokh AS (SELECT doc_id, sha256(tok) AS s FROM toks),
+         -- first 8 bytes of sha256(token), little-endian == the
+         -- engine's token_hashes64: Horner over bytes 8..1 in HUGEINT
+         hashes AS (SELECT doc_id,
+            list_reduce(
+                list_transform(range(0, 8), j ->
+                    CAST((strpos('0123456789abcdef', s[2*(8-j)-1]) - 1) * 16
+                         + (strpos('0123456789abcdef', s[2*(8-j)]) - 1)
+                         AS HUGEINT)),
+                (acc, x) -> acc * 256 + x) AS h
+            FROM tokh),
+         -- classic SimHash: per-bit +/-1 vote over token hashes
+         -- (power(2, j) is a power of two -> exact as DOUBLE -> exact
+         -- HUGEINT cast)
+         bits AS (SELECT doc_id, i.j AS j,
+                 SUM(CASE WHEN (h // CAST(power(2, i.j) AS HUGEINT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS acc
+             FROM hashes, (SELECT unnest(range(0, 64)) AS j) i
+             GROUP BY doc_id, i.j),
+         sims0 AS (SELECT doc_id,
+                 SUM(CASE WHEN acc > 0
+                          THEN CAST(power(2, j) AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END) AS u
+             FROM bits GROUP BY doc_id),
+         -- tokenless docs hash to 0 (engine parity)
+         sims AS (SELECT d.doc_id,
+                         COALESCE(s.u, CAST(0 AS HUGEINT)) AS u
+             FROM documents d LEFT JOIN sims0 s ON s.doc_id = d.doc_id),
+         bands AS (SELECT doc_id,
+                 CAST(u % 65536 AS BIGINT) AS b0,
+                 CAST((u // 65536) % 65536 AS BIGINT) AS b1,
+                 CAST((u // 4294967296) % 65536 AS BIGINT) AS b2,
+                 CAST((u // 281474976710656) % 65536 AS BIGINT) AS b3
+             FROM sims),
+         -- banded candidates (pigeonhole: hamming<=3 shares a band),
+         -- Hamming distance = sum of per-band xor popcounts
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                      AS BIGINT) AS hamming
+             FROM bands a JOIN bands b
+               ON a.doc_id < b.doc_id
+              AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
@@ -556,6 +639,11 @@ def oracle_sql() -> dict[str, str]:
         # fingerprint: Horner over UTF-8 bytes mod 2^64 in HUGEINT —
         # h_i = h_{i-1}*B + byte_i reproduces Σ byte_i·B^(n-1-i)
         "fingerprint": _FINGERPRINT_SQL,
+
+        # simhash: sha256-derived token hashes + per-bit votes +
+        # 16-bit banding + xor/bit_count Hamming — all integer math,
+        # so the pair table hash-matches the engine exactly
+        "simhash": _SIMHASH_SQL,
 
         # minhash_lsh emits exact-verified jaccard for LSH candidate
         # pairs; at the test thresholds LSH recall is 1.0 (near-dup

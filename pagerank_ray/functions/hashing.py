@@ -131,12 +131,18 @@ def band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
 
 
 def token_hashes64(text: str) -> np.ndarray:
-    """Stable 64-bit hash per whitespace token (blake2b-8)."""
+    """Stable 64-bit hash per whitespace token: first 8 bytes of
+    sha256(token), little-endian.
+
+    sha256 (not blake2b) so the DuckDB conformance oracle can compute
+    the IDENTICAL value in SQL (`sha256()` exists there; blake2b does
+    not) — the simhash driver query is hash-checked end-to-end against
+    it."""
     toks = text.split()
     out = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
         out[i] = np.frombuffer(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+            hashlib.sha256(t.encode("utf-8")).digest()[:8],
             dtype=np.uint64)[0]
     return out
 

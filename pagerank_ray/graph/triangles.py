@@ -29,24 +29,70 @@ import ray
 import ray.data as rd
 
 from ..stages import encode as enc
+from ..stages.join import default_join_partitions, hash_join
 
 
 def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
                     ) -> pa.Table:
     """edges_ds: (src, dst) strings. Returns (node, tri_count) for every
-    node, zero-count nodes included.
+    node, zero-count nodes included, sorted by node.
 
-    Two closing strategies: when the deduped oriented edge set fits a
-    broadcast (< ``broadcast_threshold`` edges) it ships once via
-    ray.put as a sorted packed-key array and wedges are closed with a
-    vectorized searchsorted inside map_batches — no second shuffle.
-    Beyond that, the partitioned hash join on (b, c) (union + groupby)
-    takes over: slower constants, unbounded scale."""
+    Two end-to-end strategies, selected by the raw edge count:
+
+    * **broadcast** (< ``broadcast_threshold`` edges): the dictionary
+      collects to the driver, encode is a broadcast ``index_in``, and
+      wedges close against a ray.put sorted packed-key array with a
+      vectorized searchsorted — no second shuffle. Driver-safe by
+      construction (the edge set bounds the node count).
+    * **partitioned** (the scale path): the dictionary NEVER touches
+      the driver — distinct names stay a Dataset, ids come from
+      ``assign_ids_sorted`` (block-metadata offsets), edges encode via
+      two partitioned hash joins, degrees attach via joins, wedges
+      close via a partitioned (b, c) hash join, and the per-vertex
+      count table is assembled by a union + groupby + name join (no
+      dense O(n) driver array).
+    """
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() > broadcast_threshold:
+        return _triangle_counts_partitioned(edges_ds)
     names = enc.distinct_nodes(edges_ds)
     n = len(names)
     encoded = enc.encode_edges(edges_ds, names)
 
+    undirected = _undirected_dedup(encoded)
+    deg_ds = _vertex_degrees(undirected)
+
+    # dense degree array broadcast once via ray.put (driver-safe: the
+    # edge count bound on this path bounds the node count)
+    deg = np.zeros(n, dtype=np.int64)
+    for r in deg_ds.take_all():
+        deg[r["vertex"]] = r["count()"]
+    deg_ref = ray.put(deg)
+
+    class Orient:
+        def __init__(self, deg_ref):
+            self.deg = ray.get(deg_ref) if isinstance(
+                deg_ref, ray.ObjectRef) else deg_ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy()
+            v = t.column("v").to_numpy()
+            return _orient(u, v, self.deg[u], self.deg[v], n)
+
+    oriented = undirected.map_batches(
+        Orient, fn_constructor_args=(deg_ref,),
+        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    return _close_broadcast(oriented, names, n)
+
+
+def _undirected_dedup(encoded):
+    """(src_id, dst_id) -> deduped undirected (u < v) edges, self-loops
+    dropped; materialized so degrees + orientation + wedges reuse it."""
+
     def canonical(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty-schema block from an upstream join
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
         s = t.column("src_id").to_numpy()
         d = t.column("dst_id").to_numpy()
         keep = s != d
@@ -54,67 +100,56 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
         return pa.table({"u": pa.array(np.minimum(s, d)),
                          "v": pa.array(np.maximum(s, d))})
 
-    undirected = (
-        encoded.map_batches(canonical, batch_format="pyarrow",
-                            zero_copy_batch=True)
-        .groupby(["u", "v"]).count()
-        .select_columns(["u", "v"])
-    )
-    # dedup result is small enough per group; materialize lineage once
-    # so degrees + orientation + wedges reuse it without recompute.
-    undirected = undirected.materialize()
+    return (encoded.map_batches(canonical, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby(["u", "v"]).count()
+            .select_columns(["u", "v"])
+            .materialize())
 
-    # vertex degrees over the deduped undirected edges
+
+def _vertex_degrees(undirected):
     def emit_verts(t: pa.Table) -> pa.Table:
         both = np.concatenate([t.column("u").to_numpy(),
                                t.column("v").to_numpy()])
         return pa.table({"vertex": pa.array(both)})
 
-    deg_ds = (undirected.map_batches(emit_verts, batch_format="pyarrow")
-              .groupby("vertex").count())
+    return (undirected.map_batches(emit_verts, batch_format="pyarrow")
+            .groupby("vertex").count())
 
-    def _orient(u, v, du, dv):
-        """Orient each edge from lower (deg, id) to higher (deg, id);
-        kb = total-order key of the head endpoint — wedge pairs must
-        be ordered by the SAME (deg, id) order the orientation uses,
-        or closing edges are looked up in the wrong direction.
-        Key packing bound: deg*(n+1)+id needs n^2 < 2^63."""
-        u_first = (du < dv) | ((du == dv) & (u < v))
-        a = np.where(u_first, u, v)
-        b = np.where(u_first, v, u)
-        db = np.where(u_first, dv, du)
-        kb = db * np.int64(n + 1) + b
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "kb": pa.array(kb)})
 
-    n_edges = undirected.count()
-    if n_edges <= broadcast_threshold:
-        # small graph: dense degree array broadcast once via ray.put
-        deg = np.zeros(n, dtype=np.int64)
-        for r in deg_ds.take_all():
-            deg[r["vertex"]] = r["count()"]
-        deg_ref = ray.put(deg)
+def _orient(u, v, du, dv, n):
+    """Orient each edge from lower (deg, id) to higher (deg, id);
+    kb = total-order key of the head endpoint — wedge pairs must
+    be ordered by the SAME (deg, id) order the orientation uses,
+    or closing edges are looked up in the wrong direction.
+    Key packing bound: deg*(n+1)+id needs n^2 < 2^63."""
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    a = np.where(u_first, u, v)
+    b = np.where(u_first, v, u)
+    db = np.where(u_first, dv, du)
+    kb = db * np.int64(n + 1) + b
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "kb": pa.array(kb)})
 
-        class Orient:
-            def __init__(self, deg_ref):
-                self.deg = ray.get(deg_ref) if isinstance(
-                    deg_ref, ray.ObjectRef) else deg_ref
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                u = t.column("u").to_numpy()
-                v = t.column("v").to_numpy()
-                return _orient(u, v, self.deg[u], self.deg[v])
+def _triangle_counts_partitioned(edges_ds) -> pa.Table:
+    """The scale path: dictionary, degrees, wedges, closing and the
+    output table all stay distributed — the only driver-side data is
+    the final (node, tri_count) result itself."""
+    nparts = default_join_partitions()
+    nodes_ds = enc.assign_ids_sorted(
+        enc.distinct_nodes_dataset(edges_ds)).materialize()
+    n = nodes_ds.count()
+    encoded = enc.encode_edges_partitioned(edges_ds, nodes_ds)
+    undirected = _undirected_dedup(encoded)
+    deg_ds = _vertex_degrees(undirected)
 
-        oriented = undirected.map_batches(
-            Orient, fn_constructor_args=(deg_ref,),
-            batch_format="pyarrow", concurrency=(1, 4)).materialize()
-        return _close_broadcast(oriented, names, n)
-
-    # scale path: degrees attach via two partitioned hash joins (the
-    # dense degree broadcast above is O(n) per worker — unusable at
-    # billion-node scale), then orientation is a vectorized map
-    from ..stages.join import hash_join
-
+    # degrees attach via two partitioned hash joins (a dense degree
+    # broadcast is O(n) per worker — unusable at billion-node scale),
+    # then orientation is a vectorized map. repartitions between
+    # chained joins coalesce the empty-schema blocks a join emits for
+    # empty hash partitions (they break the next join's key
+    # resolution on small graphs).
     d2 = deg_ds.map_batches(
         lambda t: t.rename_columns(["vertex2", "cnt2"]),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -124,11 +159,6 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
         lambda t: t.rename_columns(
             ["du" if c == "count()" else c for c in t.column_names]),
         batch_format="pyarrow", zero_copy_batch=True)
-    from ..stages.join import default_join_partitions
-    nparts = default_join_partitions()
-    # repartitions between chained joins coalesce the empty-schema
-    # blocks a join emits for empty hash partitions (they break the
-    # next join's key resolution on small graphs)
     with_dv = hash_join(
         with_du.repartition(nparts), d2, on=("v",),
         right_on=("vertex2",))
@@ -137,7 +167,8 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
         lambda t: _orient(t.column("u").to_numpy(),
                           t.column("v").to_numpy(),
                           t.column("du").to_numpy().astype(np.int64),
-                          t.column("cnt2").to_numpy().astype(np.int64)),
+                          t.column("cnt2").to_numpy().astype(np.int64),
+                          n),
         batch_format="pyarrow",
         zero_copy_batch=True).repartition(nparts).materialize()
 
@@ -147,8 +178,6 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     # Expressed as a partitioned SELF-JOIN on a (not per-a map_groups
     # — that was one Python call per vertex) with the kb < kb2 filter
     # selecting each unordered pair exactly once, correctly oriented.
-    from ..stages.join import hash_join
-
     wedge_ds = hash_join(
         oriented, oriented.map_batches(
             lambda t: t.rename_columns(["a2", "b2", "kb2"]),
@@ -170,22 +199,52 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
                        on=("wb", "wc"), right_on=("eb", "ec"))
 
     def emit_tri_verts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64())})
         return pa.table({"vertex": pa.concat_arrays([
             t.column(c).combine_chunks().cast(pa.int64())
             for c in ("a", "wb", "wc")])})
 
-    tri_verts = closed.map_batches(emit_tri_verts,
-                                   batch_format="pyarrow",
-                                   zero_copy_batch=True)
+    counts = (closed.map_batches(emit_tri_verts, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("vertex").count())
 
-    counts = tri_verts.groupby("vertex").count().take_all()
-    tri = np.zeros(n, dtype=np.int64)
-    for r in counts:
-        tri[r["vertex"]] = r["count()"]
-    return pa.table({
-        "node": names,
-        "tri_count": pa.array(tri),
-    })
+    # zero-fill + names WITHOUT a dense driver array: union a zero row
+    # per node with the counts, groupby-sum, then join names back on
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": t.column("id").cast(pa.int64()),
+            "c": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({
+            "vertex": t.column("vertex").cast(pa.int64()),
+            "c": t.column("count()").cast(pa.int64()),
+        })
+
+    zeros = nodes_ds.map_batches(zero_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    cnts = counts.map_batches(count_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    total = (zeros.union(cnts).groupby("vertex").sum("c")
+             .repartition(nparts))
+    named = hash_join(total, nodes_ds, on=("vertex",), right_on=("id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "tri_count": pa.array([], pa.int64())})
+        return pa.table({"node": t.column("node"),
+                         "tri_count": t.column("sum(c)").cast(pa.int64())})
+
+    out = named.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.sort_by([("node", "ascending")])
 
 
 @ray.remote

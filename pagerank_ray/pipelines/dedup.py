@@ -380,10 +380,31 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
     from ..pipelines.similarity import _HyperplaneHasher, _normalize
 
     ds = _to_ds(embs)
-    dim = len(ds.take(1)[0]["embedding"])
+    first = ds.take(1)
+    if not first:   # empty input -> empty pair table (no row to probe)
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    dim = len(first[0]["embedding"])
     hasher = _HyperplaneHasher(dim, num_tables * nbits, seed)
     href = ray.put(hasher)
     mask = (1 << nbits) - 1
+
+    # normalized vectors as their OWN (vec_id, vec) table — packed
+    # float64 binary (Acero rejects list<> payloads). The bucket
+    # fan-out below carries ids only; vectors ship exactly once per
+    # side of the verify joins instead of L*(nbits+1) times through
+    # the bucket self-join (the round-2 scale-killer).
+    def pack_vecs(t: pa.Table) -> pa.Table:
+        m = _normalize(np.stack([
+            np.asarray(v, dtype=np.float64)
+            for v in t.column("embedding").to_pylist()]))
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+        })
+
+    vecs = ds.map_batches(pack_vecs, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
@@ -411,42 +432,66 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
             "bucket": pa.array(buckets),
             "vec_id": pa.array(vid[rows]),
             "own": pa.array(own),
-            "vec": pa.array([m[r].tobytes() for r in rows],
-                            pa.binary()),
         })
 
     bucketed = ds.map_batches(bucketize,
                               batch_format="pyarrow").materialize()
 
     b2 = bucketed.map_batches(
-        lambda t: t.rename_columns(["bucket2", "vec_id2", "own2",
-                                    "vec2"]),
+        lambda t: t.rename_columns(["bucket2", "vec_id2", "own2"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def pair_filter(t: pa.Table) -> pa.Table:
         a = t.column("vec_id").to_numpy()
         b = t.column("vec_id2").to_numpy()
         # pair each OWN row with own-or-probe rows; a<b canonicalizes
         # and dedups the symmetric probe pairing
-        mask = (a < b) & (t.column("own").to_numpy() == 1)
-        if not mask.any():
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        va = np.stack([np.frombuffer(x, dtype=np.float64)
-                       for x in t.column("vec").to_pylist()])[mask]
-        vb = np.stack([np.frombuffer(x, dtype=np.float64)
-                       for x in t.column("vec2").to_pylist()])[mask]
-        sims = np.einsum("ij,ij->i", va, vb)
-        keep = sims >= threshold
-        return pa.table({"a": pa.array(a[mask][keep]),
-                         "b": pa.array(b[mask][keep])})
+        m = (a < b) & (t.column("own").to_numpy() == 1)
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
 
-    pairs = (hash_join(bucketed, b2, on=("bucket",),
+    cands = (hash_join(bucketed, b2, on=("bucket",),
                        right_on=("bucket2",),
                        num_partitions=num_partitions)
-             .map_batches(verify, batch_format="pyarrow",
+             .map_batches(pair_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
-             .groupby(["a", "b"]).count())
+             .groupby(["a", "b"]).count()
+             .repartition(8)
+             .materialize())  # tiny; keeps the verify joins' DAG
+    #                           from overlapping three shuffle pools
+
+    # exact-cosine verification: two hash joins fetch each side's
+    # packed vector (the minhash_lsh_pairs shape)
+    def rn(col):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col if c == "vec" else c for c in t.column_names])
+        return f
+
+    joined = hash_join(cands, vecs, on=("a",), right_on=("vec_id",),
+                       num_partitions=num_partitions)
+    joined = joined.map_batches(rn("vec_a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = joined.repartition(8)  # coalesce empty-schema join blocks
+    joined = hash_join(joined, vecs, on=("b",), right_on=("vec_id",),
+                       num_partitions=num_partitions)
+    joined = joined.map_batches(rn("vec_b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        va = np.frombuffer(b"".join(t.column("vec_a").to_pylist()),
+                           np.float64).reshape(t.num_rows, -1)
+        vb = np.frombuffer(b"".join(t.column("vec_b").to_pylist()),
+                           np.float64).reshape(t.num_rows, -1)
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold
+        return pa.table({"a": t.column("a").filter(pa.array(keep)),
+                         "b": t.column("b").filter(pa.array(keep))})
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow",
+                               zero_copy_batch=True)
     rows = sorted((r["a"], r["b"]) for r in pairs.take_all())
     return pa.table({
         "a": pa.array([r[0] for r in rows], pa.int64()),

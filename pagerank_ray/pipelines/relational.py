@@ -89,7 +89,18 @@ WINDOWED_EVENT_AGG_SQL = """
 """
 
 
-def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
+def _derive_buckets(n_rows: int, target_rows: int = 500_000) -> int:
+    """Bucket count sized to the DATA, not the cluster: each bucket
+    becomes ONE pandas group inside an aggregator heap, so the sizing
+    rule is ~``target_rows`` rows per bucket (≈50 MB of packed event
+    rows — comfortably inside a worker heap), floored at 8 so small
+    inputs still parallelize. Callers can override; results are
+    bucket-count invariant (equality-tested in
+    tests/test_relational.py)."""
+    return max(8, -(-n_rows // target_rows))
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int | None = None):
     """(event_id, o_orderkey): latest order of customer=user_id with
     o_orderdate <= event ts; events with no such order are dropped.
 
@@ -99,7 +110,17 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
     ``pd.merge_asof(by=cust)`` — no broadcast order table, no
     per-customer Python loop. Co-partitioning both sides on the same
     key is what makes the per-bucket merge complete.
+
+    ``num_buckets`` defaults to a DATA-derived value (see
+    ``_derive_buckets``) — each bucket materializes as one pandas
+    group, so it must track input size, not cluster size.
     """
+    if num_buckets is None:
+        n = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id"]).count()
+             + rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"]).count())
+        num_buckets = _derive_buckets(n)
 
     def ev_side(t: pa.Table) -> pa.Table:
         cust = t.column("user_id").to_numpy()
@@ -156,7 +177,7 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
 
 
 def range_join_events(sf_dir: str, minutes: int = 60,
-                      num_buckets: int = 32):
+                      num_buckets: int | None = None):
     """(event_id, next_event_id): pairs of SAME-USER events where the
     second falls in (ts, ts + minutes] of the first — an interval /
     range join, the general form of the as-of join (which keeps one
@@ -168,6 +189,10 @@ def range_join_events(sf_dir: str, minutes: int = 60,
     beyond the true output size.
     """
     span_us = np.int64(minutes) * 60_000_000
+    if num_buckets is None:
+        num_buckets = _derive_buckets(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id"]).count())
 
     def bucketize(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy()
@@ -316,11 +341,19 @@ def quantiles_per_type(sf_dir: str, qs=(0.25, 0.5, 0.9)) -> pa.Table:
         starts[et] = acc
         acc += counts[et]
 
+    # DuckDB quantile_disc index = ceil(q*n) - 1 with q*n taken as the
+    # EXACT rational: float ceil(q*n) can land one element high when
+    # the double product of an integer-valued q*n rounds up (non-dyadic
+    # q, large n) — Fraction keeps the two engines in lockstep
+    from fractions import Fraction
+
     wanted = []  # (event_type, q, global_idx)
     for et in types:
         n_t = counts[et]
         for q in qs:
-            idx = min(n_t - 1, max(0, int(np.ceil(q * n_t)) - 1))
+            exact = Fraction(q).limit_denominator(10**9) * n_t
+            ceil_qn = -((-exact.numerator) // exact.denominator)
+            idx = min(n_t - 1, max(0, int(ceil_qn) - 1))
             wanted.append((et, float(q), starts[et] + idx))
 
     by_block: dict[int, list[int]] = {}

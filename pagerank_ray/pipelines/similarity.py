@@ -15,7 +15,6 @@ is tested against the brute-force baseline.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -115,15 +114,31 @@ class _HyperplaneHasher:
 
 
 def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
-            seed: int = 42) -> pa.Table:
+            seed: int = 42, num_partitions: int | None = None
+            ) -> pa.Table:
     """LSH-bucketed approximate top-k (probes own + Hamming-1 buckets).
+
+    Scale shape (no per-bucket map_groups, no pandas hop): the corpus
+    buckets ONCE — each vector lands in exactly one bucket, its
+    normalized vector packed as ``binary`` (Acero joins reject list<>
+    payloads); the tiny (bucket, query) PROBE table — one row per
+    query per probed bucket, Q*(nbits+1) rows total — hash-joins onto
+    the bucketed corpus, so only the query side fans out and per-
+    partition work is bounded by the join partitioning, never by a
+    bucket's group size. Cosine + per-batch partial top-k run
+    vectorized inside map_batches; the driver merges <= Q*k candidate
+    rows per batch.
 
     Same output schema as knn_bruteforce (cos_sim unrounded);
     approximate — compare by recall, not equality.
     """
+    from ..stages.join import hash_join
+
     ds = _to_ds(embs)
-    # dim from the first row only (one block executes, not the dataset)
-    dim = len(ds.take(1)[0]["embedding"])
+    first = ds.take(1)   # one block executes, not the dataset
+    if not first:
+        raise ValueError("empty embeddings dataset")
+    dim = len(first[0]["embedding"])
     hasher = _HyperplaneHasher(dim, nbits, seed)
     href = ray.put(hasher)
 
@@ -138,7 +153,8 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                 for v in t.column("embedding").to_pylist()]))
             return pa.table({
                 "vec_id": t.column("vec_id"),
-                "embedding": t.column("embedding"),
+                "vec": pa.array([row.tobytes() for row in m],
+                                pa.binary()),
                 "bucket": pa.array(self.h.sign_bits(m)),
             })
 
@@ -146,51 +162,61 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                               batch_format="pyarrow",
                               concurrency=(1, 4)).materialize()
 
-    # queries with their buckets + Hamming-1 probes (filtered scan —
-    # only the query rows reach the driver)
+    # probe table from the query rows (filtered scan — only the query
+    # rows reach the driver): own bucket + all Hamming-1 neighbors
     qrows = _fetch_rows(bucketed, query_ids)
-    probe = {}
+    missing = set(query_ids) - {r["vec_id"] for r in qrows}
+    if missing:
+        raise ValueError(f"query_ids not found in dataset: "
+                         f"{sorted(missing)}")
+    pb, pq, pv = [], [], []
     for r in qrows:
         b = r["bucket"]
-        targets = [b] + [b ^ (1 << i) for i in range(nbits)]
-        for t in targets:
-            probe.setdefault(t, []).append(
-                (r["vec_id"], np.asarray(r["embedding"], np.float64)))
-    probe_ref = ray.put(probe)
+        for tgt in [b] + [b ^ (1 << i) for i in range(nbits)]:
+            pb.append(tgt)
+            pq.append(r["vec_id"])
+            pv.append(r["vec"])
+    probes = rd.from_arrow(pa.table({
+        "pbucket": pa.array(pb, pa.int64()),
+        "query_id": pa.array(pq, pa.int64()),
+        "qvec": pa.array(pv, pa.binary()),
+    }))
 
-    def per_bucket(g: pd.DataFrame, probe_ref=None) -> pd.DataFrame:
-        # broadcast: fetch once per worker process via the object store
-        # (a closure-captured dict would reserialize with every task)
-        p = ray.get(probe_ref) if isinstance(
-            probe_ref, ray.ObjectRef) else probe_ref
-        b = int(g["bucket"].iloc[0])
-        empty = pd.DataFrame({
-            "query_id": pd.Series([], dtype="int64"),
-            "neighbor_id": pd.Series([], dtype="int64"),
-            "cos_sim": pd.Series([], dtype="float64")})
-        if b not in p:
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:
             return empty
-        ids = g["vec_id"].to_numpy()
-        m = _normalize(np.stack(
-            [np.asarray(v, np.float64) for v in g["embedding"]]))
-        qids = np.array([qid for qid, _ in p[b]], dtype=np.int64)
-        qmat = _normalize(np.stack([qv for _, qv in p[b]]))
-        sims = qmat @ m.T                              # (Q, B)
-        sims[qids[:, None] == ids[None, :]] = -np.inf  # self-matches
-        kk = min(k + 1, sims.shape[1])
-        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        out_q = np.repeat(qids, kk)
-        out_n = ids[idx].ravel()
-        out_s = np.take_along_axis(sims, idx, axis=1).ravel()
-        keep = np.isfinite(out_s)
-        return pd.DataFrame({"query_id": out_q[keep],
-                             "neighbor_id": out_n[keep],
-                             "cos_sim": out_s[keep]})
+        vid = t.column("vec_id").to_numpy()
+        qid = t.column("query_id").to_numpy()
+        v = np.frombuffer(b"".join(t.column("vec").to_pylist()),
+                          np.float64).reshape(len(vid), -1)
+        qv = np.frombuffer(b"".join(t.column("qvec").to_pylist()),
+                           np.float64).reshape(len(vid), -1)
+        sims = np.einsum("ij,ij->i", v, qv)
+        keep = vid != qid              # drop self-matches
+        vid, qid, sims = vid[keep], qid[keep], sims[keep]
+        if not len(vid):
+            return empty
+        # partial top-k per query: order (qid asc, sim desc, id asc),
+        # keep each query's first k rows of this batch
+        order = np.lexsort((vid, -sims, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], qs[1:] != qs[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(qs)])))
+        rank = np.arange(len(qs)) - np.repeat(starts, counts)
+        sel = order[rank < k]
+        return pa.table({"query_id": pa.array(qid[sel]),
+                         "neighbor_id": pa.array(vid[sel]),
+                         "cos_sim": pa.array(sims[sel])})
 
-    import functools
-    cand = bucketed.groupby("bucket").map_groups(
-        functools.partial(per_bucket, probe_ref=probe_ref),
-        batch_format="pandas")
+    cand = hash_join(bucketed, probes, on=("bucket",),
+                     right_on=("pbucket",),
+                     num_partitions=num_partitions
+                     ).map_batches(verify, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     df = cand.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
     df = df.sort_values(["query_id", "cos_sim", "neighbor_id"],
                         ascending=[True, False, True], kind="stable")

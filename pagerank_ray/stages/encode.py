@@ -128,15 +128,22 @@ def encode_edges_partitioned(edges_ds, nodes_ds,
 
     Partition sizing / aggregator reservations: see stages/join.py.
     """
-    from .join import hash_join
+    from .join import default_join_partitions, hash_join
 
     def _rename_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # joins emit EMPTY-SCHEMA blocks for
+            #                  empty hash partitions — normalize them
+            return pa.table({"dst": pa.array([], pa.string()),
+                             "src_id": pa.array([], pa.int64())})
         return pa.table({
             "dst": t.column("dst"),
             "src_id": pc.cast(t.column("id"), pa.int64()),
         })
 
     def _rename_dst(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "dst_id": pa.array([], pa.int64())})
         return pa.table({
             "src_id": t.column("src_id"),
             "dst_id": pc.cast(t.column("id"), pa.int64()),
@@ -146,6 +153,10 @@ def encode_edges_partitioned(edges_ds, nodes_ds,
         edges_ds, nodes_ds, on=("src",), right_on=("node",),
         num_partitions=num_partitions,
     ).map_batches(_rename_src, batch_format="pyarrow", zero_copy_batch=True)
+    # coalesce between chained joins: a join emits EMPTY-SCHEMA blocks
+    # for empty hash partitions, which break the second join's FieldRef
+    # resolution (same guard as _attach_pair_sizes / triangles)
+    half = half.repartition(num_partitions or default_join_partitions())
     return hash_join(
         half, nodes_ds, on=("dst",), right_on=("node",),
         num_partitions=num_partitions,

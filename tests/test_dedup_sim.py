@@ -152,3 +152,38 @@ def test_embedding_lsh_recall_vs_bruteforce():
     assert g_pairs <= t_pairs          # precision 1.0
     if t_pairs:
         assert len(g_pairs) / len(t_pairs) >= 0.6   # probe-LSH recall
+
+
+def test_knn_lsh_matches_numpy_lsh_oracle():
+    """The probe-join knn_lsh must reproduce EXACTLY the candidates +
+    ranking of a pure-numpy oracle with the same hasher and probe set
+    (own bucket + Hamming-1): the join/partial-top-k machinery may not
+    change semantics, only distribution."""
+    import numpy as np
+
+    from pagerank_ray.pipelines.similarity import (_HyperplaneHasher,
+                                                   _normalize)
+
+    t = _emb_table(n=80)
+    qs, k, nbits = [0, 10, 25], 5, 6
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(np.stack([np.asarray(v, np.float64)
+                             for v in t.column("embedding").to_pylist()]))
+    h = _HyperplaneHasher(m.shape[1], nbits, 42)
+    buckets = h.sign_bits(m)
+    want = []
+    for q in qs:
+        qi = int(np.flatnonzero(ids == q)[0])
+        probed = {int(buckets[qi])} | {int(buckets[qi]) ^ (1 << i)
+                                       for i in range(nbits)}
+        cand = np.flatnonzero(np.isin(buckets, list(probed)) & (ids != q))
+        sims = m[cand] @ m[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for rnk, j in enumerate(order, 1):
+            want.append((q, int(ids[cand][j]), rnk,
+                         round(float(sims[j]), 9)))
+
+    out = knn_lsh(t, query_ids=qs, k=k, nbits=nbits)
+    got = [(r["query_id"], r["neighbor_id"], r["rnk"],
+            round(r["cos_sim"], 9)) for r in out.to_pylist()]
+    assert sorted(got) == sorted(want)

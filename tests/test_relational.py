@@ -140,3 +140,31 @@ def test_distinct_users_per_type_exact():
     for e in ev:
         want.setdefault(e["event_type"], set()).add(e["user_id"])
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_bucket_count_invariance_asof_and_range():
+    """as-of / range join results must not depend on num_buckets (the
+    knob only sizes per-group heaps); default derives from row count."""
+    from pagerank_ray.pipelines.relational import (_derive_buckets,
+                                                   range_join_events)
+
+    a4 = sorted((r["event_id"], r["o_orderkey"])
+                for r in asof_join_events_orders(SF, num_buckets=4)
+                .take_all())
+    a32 = sorted((r["event_id"], r["o_orderkey"])
+                 for r in asof_join_events_orders(SF, num_buckets=32)
+                 .take_all())
+    assert a4 == a32 and len(a4) > 0
+
+    r4 = sorted((r["event_id"], r["next_event_id"])
+                for r in range_join_events(SF, minutes=60, num_buckets=4)
+                .take_all())
+    r32 = sorted((r["event_id"], r["next_event_id"])
+                 for r in range_join_events(SF, minutes=60,
+                                            num_buckets=32).take_all())
+    assert r4 == r32 and len(r4) > 0
+
+    # sizing rule: ~500k rows per bucket, floored at 8
+    assert _derive_buckets(100) == 8
+    assert _derive_buckets(10_000_000) == 20
+    assert _derive_buckets(10_000_001) == 21
