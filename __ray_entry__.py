@@ -393,8 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pagerank_ray.pipelines.relational import (
         asof_join_events_orders, broadcast_join_orders_customer,
-        distinct_users_per_type, quantiles_per_type,
-        range_join_events, topk_docs_per_lang, windowed_event_agg)
+        distinct_users_per_type, modal_event_type_per_user,
+        quantiles_per_type, range_join_events, sessionize_events,
+        topk_docs_per_lang, windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
         _quiet()
@@ -423,6 +424,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_distinct_users_per_type(sf_dir):
         _quiet()
         return distinct_users_per_type(sf_dir)
+
+    def q_sessionize_events(sf_dir):
+        _quiet()
+        return sessionize_events(sf_dir, gap_minutes=30)
+
+    def q_modal_event_type_per_user(sf_dir):
+        _quiet()
+        return modal_event_type_per_user(sf_dir)
 
     # ---- curation composition + sketches ----
 
@@ -493,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_orders_customer": q_broadcast_join,
         "quantiles_per_type": q_quantiles_per_type,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "sessionize_events": q_sessionize_events,
+        "modal_event_type_per_user": q_modal_event_type_per_user,
         "media_features": q_media_features,
     }
 
@@ -629,8 +640,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
-        QUANTILES_SQL, RANGE_JOIN_SQL, TOPK_PER_LANG_SQL,
-        WINDOWED_EVENT_AGG_SQL)
+        MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
+        SESSIONIZE_SQL, TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
 
     return {
         # langid: same stopword table + RE2 patterns as LangId
@@ -677,6 +688,9 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_orders_customer": BROADCAST_JOIN_SQL,
         "quantiles_per_type": QUANTILES_SQL,
         "distinct_users_per_type": DISTINCT_USERS_SQL,
+        "sessionize_events": SESSIONIZE_SQL.format(
+            gap_us=30 * 60_000_000),
+        "modal_event_type_per_user": MODAL_TYPE_SQL,
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

@@ -46,6 +46,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PL_N, PL_M, PL_P = 250_000, 30_000_000, 32
 CC_N, CC_M = 250_000, 10_000_000
 PR_ITERS = 15
+SPLIT_N, SPLIT_M = 40_000_000, 60_000_000  # n > 32M => exchange=split
 
 
 def _ensure_powerlaw(n: int, m: int, P: int, undirected: bool) -> str:
@@ -128,6 +129,44 @@ def bench_pagerank_scale() -> dict:
         r.close()
     return {"sec": best, "edges": PL_M, "iters": iters,
             "edges_per_sec_per_iter": PL_M * iters / best}
+
+
+def bench_pagerank_split() -> dict:
+    """Split-exchange run AT ITS DESIGN POINT: n = 40M nodes crosses
+    the exchange="auto" threshold (n > 32M), so the round payload is
+    per-destination-worker segments (O(n/A) heap per worker) instead
+    of full n-length concat buffers (which at this n would be 320 MB
+    PER WORKER per round). Reports edges/s/iter and the max per-worker
+    PRIVATE heap (plasma mappings excluded) as the heap-bound
+    evidence.
+
+    NOT in the default suite: the exchange at this n moves ~2*A*n*8 B
+    (~20 GB) through the object store PER ROUND — on this single
+    shared-memory box that is minutes of wall clock (the per-node
+    memory systems it is designed to spread over do not exist here).
+    Opt in with BENCH_SPLIT=1 or BENCH_ONLY=pagerank_split; the
+    recorded design-point run lives in BASELINE.md."""
+    import ray
+
+    from pagerank_ray.graph.pagerank import PageRankRunner
+
+    gdir = _ensure_powerlaw(SPLIT_N, SPLIT_M, PL_P, undirected=False)
+    r = PageRankRunner(gdir, num_workers=NUM_CPUS)
+    try:
+        ray.get([w.ping.remote() for w in r.workers])  # untimed load
+        t0 = time.time()
+        r.run(alpha=0.85, epsilon=1e-6, max_iterations=3)
+        dt = time.time() - t0
+        iters = max(r.iterations_run, 1)
+        rss = max(ray.get([w.peak_rss_mb.remote() for w in r.workers]))
+        heap = max(ray.get([w.private_heap_mb.remote()
+                            for w in r.workers]))
+    finally:
+        r.close()
+    return {"sec": dt, "edges": SPLIT_M, "iters": iters,
+            "split_edges_per_sec_per_iter": round(SPLIT_M * iters / dt),
+            "split_worker_peak_rss_mb": round(rss, 1),
+            "split_worker_private_heap_mb": round(heap, 1)}
 
 
 def _ensure_scale_docs() -> str:
@@ -316,6 +355,11 @@ def run_bench() -> dict:
                 res["edges_per_sec_per_iter"])
         if "membw_gbps" in res:
             extra["membw_gbps"] = round(res["membw_gbps"], 2)
+        for k in ("split_edges_per_sec_per_iter",
+                  "split_worker_peak_rss_mb",
+                  "split_worker_private_heap_mb"):
+            if k in res:
+                extra[k] = res[k]
     ray.shutdown()
 
     out = {

@@ -157,6 +157,36 @@ class GraphWorker:
     def ping(self) -> list[int]:
         return self.shard_ids
 
+    def peak_rss_mb(self) -> float:
+        """Peak resident set (VmHWM) of this worker process, in MB.
+        NOTE: includes pages of PLASMA OBJECTS the process mapped
+        (zero-copy reads of exchange segments), so it overstates the
+        heap — see private_heap_mb for the O(n/A) evidence."""
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return -1.0
+
+    def private_heap_mb(self) -> float:
+        """CURRENT private (non-shared) resident memory of this worker
+        — the actor's own heap: shard arrays + iteration state, with
+        object-store mappings excluded. This is the number the split
+        exchange bounds at O(edges/shard + n/A)."""
+        try:
+            with open("/proc/self/smaps_rollup") as f:
+                total = 0
+                for line in f:
+                    if line.startswith(("Private_Clean:",
+                                        "Private_Dirty:")):
+                        total += int(line.split()[1])
+                return total / 1024.0
+        except OSError:
+            return -1.0
+
     # ---------------- PageRank (power method, pagerank.py:122-172) ---
     #
     # Two RPC rounds per iteration (the minimum for exact semantics):

@@ -426,6 +426,183 @@ ASOF_JOIN_SQL = """
 """
 
 
+def sessionize_events(sf_dir: str, gap_minutes: int = 30,
+                      num_buckets: int | None = None):
+    """Gap-based sessionization: a user's events sorted by (ts,
+    event_id) split into sessions wherever the inactivity gap exceeds
+    ``gap_minutes``; session_id = the event_id of the session's first
+    event (deterministic, join-friendly).
+
+    Shape: the same bucketed batch-log pattern as the range join —
+    hash-bucket on user_id (one groupby shuffle, data-derived bucket
+    count), then one vectorized per-bucket pass: sort, per-user runs,
+    gap flags, cumulative session numbers, first-event broadcast via
+    np.maximum.accumulate of start indices. Returns
+    (event_id, session_id).
+    """
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    if num_buckets is None:
+        num_buckets = _derive_buckets(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id"]).count())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(u % num_buckets),
+            "u": pa.array(u),
+            "t": t.column("ts").cast(pa.int64()),
+            "id": t.column("event_id"),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"]).map_batches(
+            bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "session_id": pd.Series([], dtype="int64")})
+        g = g.sort_values(["u", "t", "id"], kind="stable")
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        ids = g["id"].to_numpy()
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([np.int64(0)], t[1:] - t[:-1]))
+        is_start = new_user | (gap > gap_us)
+        # index of each row's session-start row: carry the last start
+        # index forward with maximum.accumulate
+        idx = np.arange(len(u))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, -1))
+        return pd.DataFrame({
+            "event_id": ids.astype(np.int64),
+            "session_id": ids[start_idx].astype(np.int64),
+        })
+
+    return events.groupby("bucket").map_groups(
+        sessionize_bucket, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+    WITH ordered AS (
+        SELECT event_id, user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+         marks AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered),
+         sess AS (
+        SELECT event_id, user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS snum
+        FROM marks)
+    SELECT event_id,
+           first_value(event_id) OVER (PARTITION BY user_id, snum
+                                       ORDER BY ts, event_id)
+               AS session_id
+    FROM sess
+"""
+
+
+def modal_event_type_per_user(sf_dir: str):
+    """Per-user modal event type (most frequent; ties -> smallest type
+    string) — the per-group argmax WITHOUT per-group Python: counts
+    via groupby, per-user max via a second groupby, tie-break via a
+    min over the equi-count rows joined back on. Every stage is a
+    Dataset-native aggregate or partitioned join, so no user's row set
+    ever materializes as a Python group. Returns
+    (user_id, modal_type, cnt)."""
+    from ..stages.join import default_join_partitions, hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"]).count()
+              .map_batches(
+                  lambda t: pa.table({
+                      "user_id": t.column("user_id"),
+                      "event_type": t.column("event_type"),
+                      "cnt": pc.cast(t.column("count()"), pa.int64())})
+                  if t.num_rows else
+                  pa.table({"user_id": pa.array([], pa.int64()),
+                            "event_type": pa.array([], pa.string()),
+                            "cnt": pa.array([], pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())
+
+    mx = counts.groupby("user_id").max("cnt").map_batches(
+        lambda t: pa.table({
+            "u2": t.column("user_id"),
+            "mx": pc.cast(t.column("max(cnt)"), pa.int64())})
+        if t.num_rows else
+        pa.table({"u2": pa.array([], pa.int64()),
+                  "mx": pa.array([], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    joined = hash_join(counts, mx, on=("user_id",), right_on=("u2",))
+
+    def keep_modal(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        keep = pc.equal(t.column("cnt"), t.column("mx"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "cnt": t.column("cnt")}).filter(keep)
+
+    modal = (joined.map_batches(keep_modal, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .repartition(nparts)
+             .groupby("user_id").min("event_type"))
+
+    # attach the count back: modal rows are (user, min-type); the
+    # count is the user's max, carried via one more tiny join
+    m2 = modal.map_batches(
+        lambda t: pa.table({
+            "u3": t.column("user_id"),
+            "modal_type": t.column("min(event_type)")})
+        if t.num_rows else
+        pa.table({"u3": pa.array([], pa.int64()),
+                  "modal_type": pa.array([], pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True).repartition(nparts)
+    final = hash_join(m2, mx, on=("u3",), right_on=("u2",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "modal_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"user_id": t.column("u3"),
+                         "modal_type": t.column("modal_type"),
+                         "cnt": t.column("mx")})
+
+    return final.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+MODAL_TYPE_SQL = """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+         ranked AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type ASC)
+                   AS rn
+        FROM counts)
+    SELECT user_id, event_type AS modal_type, cnt
+    FROM ranked WHERE rn = 1
+"""
+
+
 def broadcast_join_orders_customer(sf_dir: str):
     """orders ⋈ customer on custkey — small side broadcast via
     ray.put, vectorized Arrow index_in lookup per batch (no shuffle)."""

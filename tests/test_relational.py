@@ -168,3 +168,59 @@ def test_bucket_count_invariance_asof_and_range():
     assert _derive_buckets(100) == 8
     assert _derive_buckets(10_000_000) == 20
     assert _derive_buckets(10_000_001) == 21
+
+
+def test_sessionize_events_matches_bruteforce():
+    """Gap sessionization vs a per-user python oracle; also invariant
+    across bucket counts."""
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import sessionize_events
+
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize_events(SF, gap_minutes=30).take_all()}
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pylist()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(
+            (int(e["ts"].timestamp() * 1e6), e["event_id"]))
+    want = {}
+    gap = 30 * 60 * 1_000_000
+    for rows in by_user.values():
+        rows.sort()
+        cur = None
+        prev_t = None
+        for t, eid in rows:
+            if prev_t is None or t - prev_t > gap:
+                cur = eid
+            want[eid] = cur
+            prev_t = t
+    assert got == want
+    assert len(got) == len(ev)
+    # more than one session must exist, and multi-event sessions too
+    assert len(set(got.values())) < len(got)
+
+    g2 = {r["event_id"]: r["session_id"]
+          for r in sessionize_events(SF, gap_minutes=30,
+                                     num_buckets=4).take_all()}
+    assert g2 == got
+
+
+def test_modal_event_type_per_user_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import modal_event_type_per_user
+
+    got = {r["user_id"]: (r["modal_type"], r["cnt"])
+           for r in modal_event_type_per_user(SF).take_all()}
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pylist()
+    cnt = {}
+    for e in ev:
+        k = (e["user_id"], e["event_type"])
+        cnt[k] = cnt.get(k, 0) + 1
+    want = {}
+    for (u, ty), c in cnt.items():
+        best = want.get(u)
+        if best is None or (-c, ty) < (-best[1], best[0]):
+            want[u] = (ty, c)
+    assert got == want
