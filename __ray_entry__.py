@@ -433,6 +433,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return modal_event_type_per_user(sf_dir)
 
+    # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
+
+    from pagerank_ray.pipelines.warehouse import (pricing_summary,
+                                                  top_revenue_orders)
+
+    def q_pricing_summary(sf_dir):
+        _quiet()
+        return pricing_summary(sf_dir)
+
+    def q_top_revenue_orders(sf_dir):
+        _quiet()
+        return top_revenue_orders(sf_dir, segment="BUILDING", k=10)
+
     # ---- curation composition + sketches ----
 
     from pagerank_ray.functions.sketch import hll_distinct
@@ -504,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
         "media_features": q_media_features,
     }
 
@@ -642,6 +657,8 @@ def oracle_sql() -> dict[str, str]:
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
         MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
         SESSIONIZE_SQL, TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
+    from pagerank_ray.pipelines.warehouse import (PRICING_SUMMARY_SQL,
+                                                  TOP_REVENUE_SQL)
 
     return {
         # langid: same stopword table + RE2 patterns as LangId
@@ -691,6 +708,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_SQL.format(
             gap_us=30 * 60_000_000),
         "modal_event_type_per_user": MODAL_TYPE_SQL,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "top_revenue_orders": TOP_REVENUE_SQL.format(
+            segment="BUILDING", k=10),
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

@@ -151,11 +151,15 @@ def bench_pagerank_split() -> dict:
     from pagerank_ray.graph.pagerank import PageRankRunner
 
     gdir = _ensure_powerlaw(SPLIT_N, SPLIT_M, PL_P, undirected=False)
+    # BENCH_SPLIT_MODE=concat forces the O(n)-buffer mode at the same
+    # n for the A/B heap comparison recorded in BASELINE.md
+    mode = os.environ.get("BENCH_SPLIT_MODE", "auto")
     r = PageRankRunner(gdir, num_workers=NUM_CPUS)
     try:
         ray.get([w.ping.remote() for w in r.workers])  # untimed load
         t0 = time.time()
-        r.run(alpha=0.85, epsilon=1e-6, max_iterations=3)
+        r.run(alpha=0.85, epsilon=1e-6, max_iterations=3,
+              exchange=mode)
         dt = time.time() - t0
         iters = max(r.iterations_run, 1)
         rss = max(ray.get([w.peak_rss_mb.remote() for w in r.workers]))
@@ -323,6 +327,7 @@ def bench_membw() -> dict:
 COMPONENTS = {
     "corpus_pipeline": bench_corpus_pipeline,
     "pagerank_scale": bench_pagerank_scale,
+    "pagerank_split": bench_pagerank_split,  # opt-in (see docstring)
     "minhash_scale": bench_minhash_scale,
     "membw": bench_membw,
     "cc_scale": bench_cc_scale,
@@ -343,8 +348,12 @@ def run_bench() -> dict:
 
     only = os.environ.get("BENCH_ONLY")
     # membw (sec 0.0) runs for context: its membw_gbps figure dates
-    # each record against the shared VM's 3-23 GB/s bandwidth swings
-    names = only.split(",") if only else list(COMPONENTS)
+    # each record against the shared VM's 3-23 GB/s bandwidth swings.
+    # pagerank_split is opt-in (BENCH_SPLIT=1 / BENCH_ONLY): ~20 GB of
+    # object-store traffic per round = minutes on this single box.
+    names = only.split(",") if only else [
+        c for c in COMPONENTS
+        if c != "pagerank_split" or os.environ.get("BENCH_SPLIT")]
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in names:

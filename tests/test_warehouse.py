@@ -1,0 +1,57 @@
+"""Warehouse pipelines (TPC-H Q1/Q3 shapes) vs pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pagerank_ray.pipelines.warehouse import (_Q1_CUTOFF, _Q3_DATE,
+                                              pricing_summary,
+                                              top_revenue_orders)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_matches_pandas():
+    got = pricing_summary(SF).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li = li[li["l_shipdate"] <= pd.Timestamp(_Q1_CUTOFF)]
+    li = li.assign(
+        disc_price=li.l_extendedprice * (1 - li.l_discount),
+        charge=li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax))
+    want = (li.groupby(["l_returnflag", "l_linestatus"])
+            .agg(sum_qty=("l_quantity", "sum"),
+                 sum_base_price=("l_extendedprice", "sum"),
+                 sum_disc_price=("disc_price", "sum"),
+                 sum_charge=("charge", "sum"),
+                 count_order=("l_quantity", "size"))
+            .reset_index().sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    assert (got["count_order"].to_numpy()
+            == want["count_order"].to_numpy()).all()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+              "sum_charge"):
+        assert np.allclose(got[c].to_numpy(),
+                           np.round(want[c].to_numpy(), 2), atol=0.011)
+    assert len(got) == 6  # 3 returnflags x 2 linestatuses
+
+
+def test_top_revenue_orders_matches_pandas():
+    got = top_revenue_orders(SF, segment="BUILDING", k=10)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cu = cu[cu["c_mktsegment"] == "BUILDING"]
+    od = od[(od["o_orderdate"] < pd.Timestamp(_Q3_DATE))
+            & od["o_custkey"].isin(cu["c_custkey"])]
+    li = li[li["l_shipdate"] > pd.Timestamp(_Q3_DATE)]
+    li = li[li["l_orderkey"].isin(od["o_orderkey"])]
+    rev = (li.assign(rev=li.l_extendedprice * (1 - li.l_discount))
+           .groupby("l_orderkey")["rev"].sum().round(2))
+    want = rev.reset_index().sort_values(
+        ["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    assert got.column("o_orderkey").to_pylist() == \
+        want["l_orderkey"].tolist()
+    assert np.allclose(got.column("revenue").to_numpy(),
+                       want["rev"].to_numpy(), atol=0.011)
+    assert got.num_rows == 10
