@@ -106,7 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.pipelines.events_graph import edges_from_events
     from pagerank_ray.pipelines.multimodal import (featurize_media,
                                                    synth_media_table)
-    from pagerank_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+    from pagerank_ray.pipelines.similarity import (knn_bruteforce,
+                                                   knn_ivf, knn_lsh)
     from pagerank_ray.stages.encode import distinct_nodes
     from pagerank_ray.stages.filters import (URL_DROP_PATTERN,
                                              inlink_ratio_filter)
@@ -389,6 +390,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             query_ids=[0, 1, 2, 3, 4], k=10, nbits=8)
 
+    def q_knn_ivf(sf_dir):
+        """IVF inverted-list ANN (k-means coarse quantizer);
+        approximate, recall-gated by pytest -> rows-only."""
+        _quiet()
+        import ray.data as rd
+        return knn_ivf(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2, 3, 4], k=10)
+
     # ---- relational / stream-shaped ----
 
     from pagerank_ray.pipelines.relational import (
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "curate_documents": q_curate_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,

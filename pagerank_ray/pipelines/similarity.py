@@ -6,10 +6,15 @@ cosine block-matmul against it and emits per-batch top-k candidates;
 the driver merges the tiny candidate set. One pass over the data, no
 shuffle.
 
-``knn_lsh`` — the scale path: random-hyperplane LSH signatures bucket
-the corpus (groupby shuffle keyed on the signature); queries probe
-their own bucket plus all Hamming-1 neighbors. Approximate — recall
-is tested against the brute-force baseline.
+``knn_lsh`` — scale path #1: random-hyperplane LSH signatures bucket
+the corpus; queries probe their own bucket plus all Hamming-1
+neighbors via a (bucket, query) probe-table hash join.
+
+``knn_ivf`` — scale path #2: IVF coarse quantizer (k-means on a
+bounded deterministic sample) buckets the corpus into inverted lists;
+queries probe their n_probe nearest centroids through the same
+probe-join machinery. Both are approximate — recall is tested against
+the brute-force baseline.
 """
 
 from __future__ import annotations
@@ -181,6 +186,16 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
         "query_id": pa.array(pq, pa.int64()),
         "qvec": pa.array(pv, pa.binary()),
     }))
+    return _probe_join_topk(bucketed, probes, k, num_partitions)
+
+
+def _probe_join_topk(bucketed, probes, k: int,
+                     num_partitions: int | None) -> pa.Table:
+    """Shared tail of the bucketed-ANN paths (LSH and IVF): hash-join
+    the (pbucket, query_id, qvec) probe table onto the (bucket,
+    vec_id, vec) corpus, verify cosine + partial top-k vectorized per
+    batch, merge <= Q*k rows per batch on the driver."""
+    from ..stages.join import hash_join
 
     def verify(t: pa.Table) -> pa.Table:
         empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -223,3 +238,102 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rnk"] = df.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on UNIT vectors (cosine = dot);
+    returns L2-normalized centroids. Runs on a BOUNDED sample on the
+    driver — the IVF coarse quantizer's training cost must not grow
+    with the corpus."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_clusters, n),
+                             replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-300)
+    return cent
+
+
+def knn_ivf(embs, query_ids: list[int], k: int = 10,
+            n_clusters: int = 16, n_probe: int = 4,
+            sample_size: int = 2048, seed: int = 42,
+            num_partitions: int | None = None) -> pa.Table:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    next to ``knn_lsh``: a coarse k-means quantizer trained on a
+    deterministic bounded sample buckets the corpus (one list per
+    centroid); each query probes its ``n_probe`` nearest centroids.
+
+    Stages: (1) sample scan -> driver k-means (O(sample) only);
+    (2) broadcast centroids, assign buckets vectorized per batch;
+    (3) tiny (bucket, query) probe table hash-joins onto the bucketed
+    corpus; (4) shared vectorized verify + partial top-k
+    (``_probe_join_topk``). Approximate — recall-tested against brute
+    force. Same output schema as knn_bruteforce.
+    """
+    ds = _to_ds(embs)
+    first = ds.take(1)
+    if not first:
+        raise ValueError("empty embeddings dataset")
+
+    # deterministic sample: every step-th vec_id (filtered scan)
+    n_rows = ds.count()
+    step = max(1, n_rows // sample_size)
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(vid % step == 0))
+
+    sample_rows = ds.map_batches(pick_sample, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    sample = _normalize(np.stack([
+        np.asarray(r["embedding"], np.float64) for r in sample_rows]))
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    cref = ray.put(cent)
+
+    class Assign:
+        def __init__(self, cref):
+            self.cent = ray.get(cref) if isinstance(
+                cref, ray.ObjectRef) else cref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v in t.column("embedding").to_pylist()]))
+            bucket = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "vec": pa.array([row.tobytes() for row in m],
+                                pa.binary()),
+                "bucket": pa.array(bucket),
+            })
+
+    bucketed = ds.map_batches(Assign, fn_constructor_args=(cref,),
+                              batch_format="pyarrow",
+                              concurrency=(1, 4)).materialize()
+
+    qrows = _fetch_rows(bucketed, query_ids)
+    missing = set(query_ids) - {r["vec_id"] for r in qrows}
+    if missing:
+        raise ValueError(f"query_ids not found in dataset: "
+                         f"{sorted(missing)}")
+    npb = min(n_probe, len(cent))
+    pb, pq, pv = [], [], []
+    for r in qrows:
+        qv = np.frombuffer(r["vec"], np.float64)
+        near = np.argsort(-(cent @ qv), kind="stable")[:npb]
+        for tgt in near:
+            pb.append(int(tgt))
+            pq.append(r["vec_id"])
+            pv.append(r["vec"])
+    probes = rd.from_arrow(pa.table({
+        "pbucket": pa.array(pb, pa.int64()),
+        "query_id": pa.array(pq, pa.int64()),
+        "qvec": pa.array(pv, pa.binary()),
+    }))
+    return _probe_join_topk(bucketed, probes, k, num_partitions)

@@ -187,3 +187,56 @@ def test_knn_lsh_matches_numpy_lsh_oracle():
     got = [(r["query_id"], r["neighbor_id"], r["rnk"],
             round(r["cos_sim"], 9)) for r in out.to_pylist()]
     assert sorted(got) == sorted(want)
+
+
+def test_knn_ivf_matches_numpy_ivf_oracle():
+    """knn_ivf must reproduce EXACTLY a pure-numpy oracle with the
+    same deterministic sample, k-means centroids, bucket assignment,
+    and n_probe probing — the distribution machinery may not change
+    semantics."""
+    import numpy as np
+
+    from pagerank_ray.pipelines.similarity import (_normalize,
+                                                   kmeans_fit, knn_ivf)
+
+    t = _emb_table(n=80)
+    qs, k, nc, npb = [0, 10, 25], 5, 8, 3
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(np.stack([np.asarray(v, np.float64)
+                             for v in t.column("embedding").to_pylist()]))
+    step = max(1, len(ids) // 2048)
+    cent = kmeans_fit(m[ids % step == 0], nc, seed=42)
+    buckets = np.argmax(m @ cent.T, axis=1)
+    want = []
+    for q in qs:
+        qi = int(np.flatnonzero(ids == q)[0])
+        probed = np.argsort(-(cent @ m[qi]), kind="stable")[:npb]
+        cand = np.flatnonzero(np.isin(buckets, probed) & (ids != q))
+        sims = m[cand] @ m[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for rnk, j in enumerate(order, 1):
+            want.append((q, int(ids[cand][j]), rnk,
+                         round(float(sims[j]), 9)))
+
+    out = knn_ivf(t, query_ids=qs, k=k, n_clusters=nc, n_probe=npb)
+    got = [(r["query_id"], r["neighbor_id"], r["rnk"],
+            round(r["cos_sim"], 9)) for r in out.to_pylist()]
+    assert sorted(got) == sorted(want)
+
+
+def test_knn_ivf_recall():
+    """Planted nearest neighbors must be found; recall vs brute force
+    is high when probing 1/4 of the lists."""
+    t = _emb_table(n=60)
+    from pagerank_ray.pipelines.similarity import knn_ivf
+
+    exact = knn_bruteforce(t, query_ids=[0, 10], k=5)
+    approx = knn_ivf(t, query_ids=[0, 10], k=5, n_clusters=8, n_probe=4)
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert 1 in ap[0] and 11 in ap[10]   # planted near-dups found
+    total = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    assert total >= 0.6 * sum(len(v) for v in ex.values())
