@@ -405,11 +405,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         asof_join_events_orders, broadcast_join_orders_customer,
         distinct_users_per_type, modal_event_type_per_user,
         quantiles_per_type, range_join_events, sessionize_events,
-        topk_docs_per_lang, windowed_event_agg)
+        sliding_event_agg, topk_docs_per_lang, windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
         _quiet()
         return windowed_event_agg(sf_dir, window_minutes=60)
+
+    def q_sliding_event_agg(sf_dir):
+        _quiet()
+        return sliding_event_agg(sf_dir, size_minutes=60,
+                                 hop_minutes=15)
 
     def q_asof_join(sf_dir):
         _quiet()
@@ -520,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": q_curate_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
+        "sliding_event_agg": q_sliding_event_agg,
         "asof_join_events_orders": q_asof_join,
         "range_join_events": q_range_join,
         "topk_docs_per_lang": q_topk_docs_per_lang,
@@ -667,7 +673,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
         MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
-        SESSIONIZE_SQL, TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
+        SESSIONIZE_SQL, SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
+        WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (PRICING_SUMMARY_SQL,
                                                   TOP_REVENUE_SQL)
 
@@ -710,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
             lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(
             us=60 * 60_000_000),
+        "sliding_event_agg": SLIDING_EVENT_AGG_SQL.format(
+            hop_us=15 * 60_000_000, k=4),
         "asof_join_events_orders": ASOF_JOIN_SQL,
         "range_join_events": RANGE_JOIN_SQL.format(minutes=60),
         "topk_docs_per_lang": TOPK_PER_LANG_SQL.format(k=3),

@@ -89,6 +89,73 @@ WINDOWED_EVENT_AGG_SQL = """
 """
 
 
+def sliding_event_agg(sf_dir: str, size_minutes: int = 60,
+                      hop_minutes: int = 15):
+    """SLIDING (hopping) event-time window per event_type: window w
+    covers [w*hop, w*hop + size); each event lands in size/hop
+    overlapping windows. The fan-out happens INSIDE the per-batch
+    combiner (np.repeat before the partial groupby), so the shuffle
+    still carries only aggregated (type, window) rows — the standard
+    way to keep an overlap factor off the wire. ``size`` must be a
+    multiple of ``hop``. Returns (event_type, win, cnt, val_sum)
+    where win*hop_minutes is the window start."""
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of "
+                         "hop_minutes")
+    hop_us = np.int64(hop_minutes) * 60_000_000
+    k = size_minutes // hop_minutes
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        w_last = ts // hop_us
+        # event at t is inside windows w_last-(k-1) .. w_last
+        wins = (np.repeat(w_last, k)
+                - np.tile(np.arange(k, dtype=np.int64), len(ts)))
+        df = pd.DataFrame({
+            "event_type": np.repeat(np.asarray(
+                t.column("event_type").to_pylist(), dtype=object), k),
+            "win": wins,
+            "value": np.repeat(t.column("value").to_numpy(), k),
+        })
+        g = (df.groupby(["event_type", "win"], sort=False)
+             .agg(cnt=("value", "size"), val_sum=("value", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "win"])
+           .sum(["cnt", "val_sum"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "win": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "val_sum": pa.array([], pa.float64())})
+        vs = np.round(t.column("sum(val_sum)").to_numpy(), 2)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "win": t.column("win"),
+            "cnt": pc.cast(t.column("sum(cnt)"), pa.int64()),
+            "val_sum": pa.array(vs),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SLIDING_EVENT_AGG_SQL = """
+    SELECT event_type,
+           (epoch_us(ts) // {hop_us}) - i.i AS win,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS val_sum
+    FROM events, (SELECT unnest(range(0, {k})) AS i) i
+    GROUP BY 1, 2
+"""
+
+
 def _derive_buckets(n_rows: int, target_rows: int = 500_000) -> int:
     """Bucket count sized to the DATA, not the cluster: each bucket
     becomes ONE pandas group inside an aggregator heap, so the sizing

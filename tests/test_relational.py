@@ -224,3 +224,35 @@ def test_modal_event_type_per_user_matches_bruteforce():
         if best is None or (-c, ty) < (-best[1], best[0]):
             want[u] = (ty, c)
     assert got == want
+
+
+def test_sliding_event_agg_overlap_semantics():
+    """Each event lands in exactly size/hop windows; per-window counts
+    match a brute-force window membership check."""
+    import pyarrow.parquet as pq
+    from pagerank_ray.pipelines.relational import sliding_event_agg
+
+    out = sliding_event_agg(SF, size_minutes=60,
+                            hop_minutes=15).take_all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pylist()
+    hop = 15 * 60 * 1_000_000
+    size = 60 * 60 * 1_000_000
+    want = {}
+    for e in ev:
+        t = int(e["ts"].timestamp() * 1e6)
+        w_last = t // hop
+        for w in range(w_last - 3, w_last + 1):
+            assert w * hop <= t < w * hop + size
+            key = (e["event_type"], w)
+            c, s = want.get(key, (0, 0.0))
+            want[key] = (c + 1, s + e["value"])
+    got = {(r["event_type"], r["win"]): (r["cnt"],
+                                         round(r["val_sum"], 2))
+           for r in out}
+    assert got.keys() == want.keys()
+    for kk in want:
+        assert got[kk][0] == want[kk][0]
+        assert abs(got[kk][1] - want[kk][1]) < 0.011
+    # total mass: every event counted exactly 4x
+    assert sum(c for c, _ in got.values()) == 4 * len(ev)
