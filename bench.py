@@ -295,6 +295,25 @@ def bench_knn() -> dict:
     return {"sec": time.time() - t0, "rows": out.num_rows}
 
 
+def bench_knn_approx() -> dict:
+    """The two bucketed ANN scale paths (LSH probe-join, IVF
+    inverted lists) on the same queries as bench_knn."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.similarity import knn_ivf, knn_lsh
+
+    t0 = time.time()
+    a = knn_lsh(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+                query_ids=[0, 1, 2, 3, 4], k=10, nbits=8)
+    t_lsh = time.time() - t0
+    t1 = time.time()
+    b = knn_ivf(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+                query_ids=[0, 1, 2, 3, 4], k=10)
+    return {"sec": time.time() - t0, "lsh_sec": round(t_lsh, 3),
+            "ivf_sec": round(time.time() - t1, 3),
+            "rows": a.num_rows + b.num_rows}
+
+
 def bench_membw() -> dict:
     """Aggregate stream-triad memory bandwidth: one 1-CPU Ray task per
     core, each a = 2*b + c over 64 MB float64 arrays (24 B moved per
@@ -335,6 +354,7 @@ COMPONENTS = {
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,
     "knn": bench_knn,
+    "knn_approx": bench_knn_approx,
 }
 
 
@@ -366,7 +386,8 @@ def run_bench() -> dict:
             extra["membw_gbps"] = round(res["membw_gbps"], 2)
         for k in ("split_edges_per_sec_per_iter",
                   "split_worker_peak_rss_mb",
-                  "split_worker_private_heap_mb"):
+                  "split_worker_private_heap_mb",
+                  "lsh_sec", "ivf_sec"):
             if k in res:
                 extra[k] = res[k]
     ray.shutdown()
