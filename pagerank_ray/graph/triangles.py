@@ -109,6 +109,8 @@ def _undirected_dedup(encoded):
 
 def _vertex_degrees(undirected):
     def emit_verts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty-schema block from the dedup groupby
+            return pa.table({"vertex": pa.array([], pa.int64())})
         both = np.concatenate([t.column("u").to_numpy(),
                                t.column("v").to_numpy()])
         return pa.table({"vertex": pa.array(both)})
@@ -146,31 +148,55 @@ def _triangle_counts_partitioned(edges_ds) -> pa.Table:
 
     # degrees attach via two partitioned hash joins (a dense degree
     # broadcast is O(n) per worker — unusable at billion-node scale),
-    # then orientation is a vectorized map. repartitions between
-    # chained joins coalesce the empty-schema blocks a join emits for
-    # empty hash partitions (they break the next join's key
-    # resolution on small graphs).
-    d2 = deg_ds.map_batches(
-        lambda t: t.rename_columns(["vertex2", "cnt2"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # then orientation is a vectorized map. Every join below passes
+    # left/right schemas: on degenerate graphs (all self-loops, no
+    # triangles) whole intermediate datasets are empty and only the
+    # hash_join sentinel keeps the shuffle typed (stages/join.py).
+    i64 = pa.int64()
+
+    def _d2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vertex2": pa.array([], i64),
+                             "cnt2": pa.array([], i64)})
+        return pa.table({"vertex2": t.column("vertex"),
+                         "cnt2": t.column("count()").cast(i64)})
+
+    def _with_du(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], i64),
+                             "v": pa.array([], i64),
+                             "du": pa.array([], i64)})
+        return pa.table({"u": t.column("u"), "v": t.column("v"),
+                         "du": t.column("count()").cast(i64)})
+
+    d2 = deg_ds.map_batches(_d2, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    deg_schema = [("vertex", i64), ("count()", i64)]
     with_du = hash_join(
-        undirected, deg_ds, on=("u",), right_on=("vertex",)
-    ).map_batches(
-        lambda t: t.rename_columns(
-            ["du" if c == "count()" else c for c in t.column_names]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        undirected, deg_ds, on=("u",), right_on=("vertex",),
+        left_schema=[("u", i64), ("v", i64)], right_schema=deg_schema,
+    ).map_batches(_with_du, batch_format="pyarrow", zero_copy_batch=True)
     with_dv = hash_join(
         with_du.repartition(nparts), d2, on=("v",),
-        right_on=("vertex2",))
+        right_on=("vertex2",),
+        left_schema=[("u", i64), ("v", i64), ("du", i64)],
+        right_schema=[("vertex2", i64), ("cnt2", i64)])
+
+    def _oriented(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], i64),
+                             "b": pa.array([], i64),
+                             "kb": pa.array([], i64)})
+        return _orient(t.column("u").to_numpy(),
+                       t.column("v").to_numpy(),
+                       t.column("du").to_numpy().astype(np.int64),
+                       t.column("cnt2").to_numpy().astype(np.int64),
+                       n)
 
     oriented = with_dv.map_batches(
-        lambda t: _orient(t.column("u").to_numpy(),
-                          t.column("v").to_numpy(),
-                          t.column("du").to_numpy().astype(np.int64),
-                          t.column("cnt2").to_numpy().astype(np.int64),
-                          n),
-        batch_format="pyarrow",
+        _oriented, batch_format="pyarrow",
         zero_copy_batch=True).repartition(nparts).materialize()
+    ori_schema = [("a", i64), ("b", i64), ("kb", i64)]
 
     # wedges: all out-neighbor pairs of each a, ordered by the
     # orientation's (deg, id) total order (kb), so the closing edge
@@ -178,17 +204,24 @@ def _triangle_counts_partitioned(edges_ds) -> pa.Table:
     # Expressed as a partitioned SELF-JOIN on a (not per-a map_groups
     # — that was one Python call per vertex) with the kb < kb2 filter
     # selecting each unordered pair exactly once, correctly oriented.
+    def _wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], i64),
+                             "wb": pa.array([], i64),
+                             "wc": pa.array([], i64)})
+        return pa.table({
+            "a": t.column("a"), "wb": t.column("b"),
+            "wc": t.column("b2")}).filter(
+                pc.less(t.column("kb"), t.column("kb2")))
+
     wedge_ds = hash_join(
         oriented, oriented.map_batches(
             lambda t: t.rename_columns(["a2", "b2", "kb2"]),
             batch_format="pyarrow", zero_copy_batch=True),
         on=("a",), right_on=("a2",),
-    ).map_batches(
-        lambda t: pa.table({
-            "a": t.column("a"), "wb": t.column("b"),
-            "wc": t.column("b2")}).filter(
-                pc.less(t.column("kb"), t.column("kb2"))),
-        batch_format="pyarrow", zero_copy_batch=True)
+        left_schema=ori_schema,
+        right_schema=[("a2", i64), ("b2", i64), ("kb2", i64)],
+    ).map_batches(_wedges, batch_format="pyarrow", zero_copy_batch=True)
 
     # close: partitioned hash join of wedges against oriented edges on
     # (b, c) — fully vectorized, no per-pair Python
@@ -196,7 +229,9 @@ def _triangle_counts_partitioned(edges_ds) -> pa.Table:
         lambda t: pa.table({"eb": t.column("a"), "ec": t.column("b")}),
         batch_format="pyarrow", zero_copy_batch=True)
     closed = hash_join(wedge_ds.repartition(nparts), edge_keys,
-                       on=("wb", "wc"), right_on=("eb", "ec"))
+                       on=("wb", "wc"), right_on=("eb", "ec"),
+                       left_schema=[("a", i64), ("wb", i64), ("wc", i64)],
+                       right_schema=[("eb", i64), ("ec", i64)])
 
     def emit_tri_verts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -232,7 +267,10 @@ def _triangle_counts_partitioned(edges_ds) -> pa.Table:
                               zero_copy_batch=True)
     total = (zeros.union(cnts).groupby("vertex").sum("c")
              .repartition(nparts))
-    named = hash_join(total, nodes_ds, on=("vertex",), right_on=("id",))
+    # total is lazy (groupby output) so _sanitize can't probe it;
+    # nodes_ds is materialized and auto-probes
+    named = hash_join(total, nodes_ds, on=("vertex",), right_on=("id",),
+                      left_schema=[("vertex", i64), ("sum(c)", i64)])
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

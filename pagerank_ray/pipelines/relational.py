@@ -613,7 +613,12 @@ def modal_event_type_per_user(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
     nparts = default_join_partitions()
-    joined = hash_join(counts, mx, on=("user_id",), right_on=("u2",))
+    mx_schema = [("u2", pa.int64()), ("mx", pa.int64())]
+    joined = hash_join(counts, mx, on=("user_id",), right_on=("u2",),
+                       left_schema=[("user_id", pa.int64()),
+                                    ("event_type", pa.string()),
+                                    ("cnt", pa.int64())],
+                       right_schema=mx_schema)
 
     def keep_modal(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -640,7 +645,10 @@ def modal_event_type_per_user(sf_dir: str):
         pa.table({"u3": pa.array([], pa.int64()),
                   "modal_type": pa.array([], pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True).repartition(nparts)
-    final = hash_join(m2, mx, on=("u3",), right_on=("u2",))
+    final = hash_join(m2, mx, on=("u3",), right_on=("u2",),
+                      left_schema=[("u3", pa.int64()),
+                                   ("modal_type", pa.string())],
+                      right_schema=mx_schema)
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -160,6 +160,10 @@ def encode_edges_partitioned(edges_ds, nodes_ds,
     return hash_join(
         half, nodes_ds, on=("dst",), right_on=("node",),
         num_partitions=num_partitions,
+        # half is lazy (downstream of a join) so _sanitize can't probe
+        # its schema — pass it so the null-row seeding stays typed even
+        # when a hash partition of the first join came out empty
+        left_schema=[("dst", pa.string()), ("src_id", pa.int64())],
     ).map_batches(_rename_dst, batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -1,6 +1,6 @@
 """Partitioned hash-join helper shared by the scale paths.
 
-Thin wrapper over ``Dataset.join`` that fixes the two operational
+Thin wrapper over ``Dataset.join`` that fixes the three operational
 hazards observed in this engine:
 
 * **Aggregator-pool deadlock**: every join operator instantiates its
@@ -12,11 +12,33 @@ hazards observed in this engine:
 * **Partition sizing**: defaults to the cluster CPU count (min 8).
   At real scale callers pass an explicit value sized so one hash
   partition of the bigger side fits in an aggregator's heap.
+* **Zero-row first block loses the schema broadcast**: Ray's hash
+  shuffle sends typed EMPTY shards to every aggregator partition only
+  from the FIRST shuffle task of each join input
+  (``send_empty_blocks=should_broadcast_schemas``,
+  hash_shuffle.py:584) — but a zero-row block short-circuits before
+  partitioning (:223), so when the first block of a side happens to
+  be empty the broadcast is silently consumed and every partition
+  that never receives a non-empty shard finalizes an EMPTY-SCHEMA
+  table, killing the join with "No match or multiple matches for key
+  field reference ..." (race-dependent on block order and on
+  partition count vs key spread). Fix: every zero-row block on both
+  sides is PADDED to one all-NULL row — typed from the block's own
+  schema when it has one, else from the caller-provided
+  ``left_schema``/``right_schema`` hint — so every block is
+  non-empty, the first task always broadcasts, and every partition is
+  seeded. NULL join keys never match in an inner join (SQL
+  semantics, verified against Acero), so the padding rows can never
+  appear in the output. Inner joins only (a null-key row WOULD
+  surface in an outer join's output; no caller uses outer joins).
 """
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 import ray
+import ray.data
 
 _AGG_ARGS = {"num_cpus": 0.1}
 
@@ -25,22 +47,80 @@ def default_join_partitions() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def _null_sentinel(schema) -> pa.Table:
+    """One all-NULL row with the given schema. ``schema`` is a
+    pa.Schema or an iterable of (name, pa.DataType) pairs."""
+    if isinstance(schema, pa.Schema):
+        fields = [(f.name, f.type) for f in schema]
+    else:
+        fields = list(schema)
+    return pa.table({name: pa.array([None], type=typ)
+                     for name, typ in fields})
+
+
+def _sanitize(ds, schema):
+    """Prepend a one-row all-NULL sentinel block so the side's FIRST
+    shuffle task is never a zero-row block (see module docstring).
+
+    The sentinel must be FIRST: only the first task of a join input
+    broadcasts typed empty shards to every partition, and a zero-row
+    block consumes that broadcast silently. A sentinel prepended via
+    ``union`` is an InputData bundle — available the instant the
+    pipeline starts, before any upstream task can emit a block — so
+    it is the one that broadcasts. (Padding empty blocks in a
+    map_batches does NOT work: Ray Data never invokes the UDF on
+    zero-row blocks, they pass through untouched.)
+
+    Without a schema hint the side's schema is probed from plan
+    metadata only (no execution); if unknown, the side is passed
+    through unchanged and the caller should provide the schema."""
+    if schema is None:
+        schema = _known_schema(ds)
+        if schema is None:
+            return ds
+    return ray.data.from_arrow(_null_sentinel(schema)).union(ds)
+
+
+def _known_schema(ds):
+    """The side's pyarrow schema if the plan already knows it —
+    never triggers execution."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+    base = getattr(sch, "base_schema", None)
+    return base if isinstance(base, pa.Schema) else None
+
+
 def hash_join(left, right, on, right_on=None, join_type: str = "inner",
               num_partitions: int | None = None,
               left_suffix: str | None = None,
-              right_suffix: str | None = None):
+              right_suffix: str | None = None,
+              left_schema=None, right_schema=None):
     """Partitioned hash join of two Datasets (both sides shuffle).
 
     ``on`` / ``right_on`` are column-name tuples; the right key
     columns are dropped from the output (Ray semantics). Suffixes
     disambiguate colliding non-key columns (e.g. self-joins).
+
+    ``left_schema`` / ``right_schema``: pass the side's exact schema
+    (names, types AND column order must match its real blocks) when
+    that side can carry SCHEMA-LESS empty blocks (it is directly
+    downstream of another join/groupby with no normalizing map) or
+    can be entirely empty — the null-row padding then stays typed
+    even for those blocks (see module docstring).
     """
     if isinstance(on, str):
         on = (on,)
     if isinstance(right_on, str):
         right_on = (right_on,)
-    return left.join(
-        right,
+    if join_type != "inner":
+        raise ValueError(
+            "hash_join only supports inner joins: the null-row "
+            "padding that makes the shuffle schema-safe would "
+            "surface sentinel rows in an outer join's output")
+    return _sanitize(left, left_schema).join(
+        _sanitize(right, right_schema),
         join_type=join_type,
         num_partitions=num_partitions or default_join_partitions(),
         on=tuple(on),

@@ -134,3 +134,53 @@ def test_more_workers_than_shards(tmp_path):
         assert t.num_rows == 2
     finally:
         r.close()
+
+
+def test_triangles_partitioned_path_edge_cases():
+    """The fully-partitioned triangles path must survive graphs that
+    leave most join hash partitions EMPTY (the empty-schema-block
+    trap): no triangles, and all-self-loops (empty wedge/closed
+    datasets end-to-end)."""
+    rows = [("a", "b"), ("b", "c"), ("c", "d")]
+    out = triangle_counts(from_arrow_edges(_edges(rows)),
+                          broadcast_threshold=0)
+    assert sorted(r["node"] for r in out.to_pylist()) == \
+        ["a", "b", "c", "d"]
+    assert all(r["tri_count"] == 0 for r in out.to_pylist())
+
+    rows = [("a", "a"), ("b", "b")]
+    out = triangle_counts(from_arrow_edges(_edges(rows)),
+                          broadcast_threshold=0)
+    assert all(r["tri_count"] == 0 for r in out.to_pylist())
+
+
+def test_partitioned_encode_sparse_key_spread(tmp_path):
+    """Partitioned encode with join partitions far above the key
+    spread (8 nodes, default cluster-sized partitions -> most hash
+    partitions empty) must match the broadcast build exactly — the
+    round-2 ADVICE race."""
+    import pyarrow as pa
+
+    from pagerank_ray.graph import build as gb
+    from pagerank_ray.graph.build import load_nodes
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"),
+            ("e", "f"), ("g", "h")]
+    ds = from_arrow_edges(_edges(rows))
+    g_a = str(tmp_path / "bc")
+    g_b = str(tmp_path / "pt")
+    meta_a = gb.build_graph(ds, g_a, num_parts=4,
+                            encode_mode="broadcast")
+    # join_partitions: well above the 8-key spread (empty partitions
+    # guaranteed) but sized so two chained 0.1-CPU aggregator pools
+    # (2 x 10 x 0.1 = 2 CPUs) leave headroom for 1-CPU map tasks on
+    # the 4-CPU test cluster — 32 here deadlocks (see stages/join.py)
+    ds2 = from_arrow_edges(_edges(rows))
+    meta_b = gb.build_graph(ds2, g_b, num_parts=4,
+                            encode_mode="partitioned",
+                            join_partitions=10)
+    assert meta_a["n"] == meta_b["n"] == 8
+    assert meta_a["num_edges"] == meta_b["num_edges"] == len(rows)
+    na = load_nodes(g_a).sort_by("id").to_pylist()
+    nb = load_nodes(g_b).sort_by("id").to_pylist()
+    assert na == nb
