@@ -461,6 +461,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return top_revenue_orders(sf_dir, segment="BUILDING", k=10)
 
+    # ---- corpus text statistics ----
+
+    from pagerank_ray.pipelines.textstats import (redact_documents,
+                                                  stratified_sample_docs,
+                                                  top_terms)
+
+    def q_top_terms(sf_dir):
+        """Global term-frequency top-k (wordcount shape): per-batch
+        value_counts combiner -> vocabulary-sized shuffle."""
+        _quiet()
+        return top_terms(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["text"]), k=20)
+
+    def q_stratified_sample_docs(sf_dir):
+        """Deterministic per-language sha256 sampling (en 20%,
+        de 80%, others 50%)."""
+        _quiet()
+        return stratified_sample_docs(sf_dir, pcts={"en": 20, "de": 80},
+                                      default_pct=50)
+
+    def q_redact_documents(sf_dir):
+        """RE2 redaction (emails/URLs/numbers) with hit counts over a
+        deterministic synthesized contact column."""
+        _quiet()
+        return redact_documents(sf_dir)
+
     # ---- curation composition + sketches ----
 
     from pagerank_ray.functions.sketch import hll_distinct
@@ -522,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "top_terms": q_top_terms,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
@@ -670,6 +699,9 @@ _SIMHASH_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
+    from pagerank_ray.pipelines.textstats import (REDACT_SQL,
+                                                  TOP_TERMS_SQL,
+                                                  stratified_sample_sql)
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
         MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
@@ -713,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = inter.b
             WHERE inter.i >= 0.5 * (sa.sz + sb.sz - inter.i)
         """,
+        "top_terms": TOP_TERMS_SQL.format(k=20),
+        "stratified_sample_docs": stratified_sample_sql(
+            {"en": 20, "de": 80}, 50),
+        "redact_documents": REDACT_SQL,
         "curate_documents": CURATE_SQL.format(
             lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(

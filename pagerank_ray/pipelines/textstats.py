@@ -1,0 +1,193 @@
+"""Corpus-level text statistics for training-data pipelines.
+
+Three operators a pretraining-data curation stack runs constantly,
+each fully streaming and DuckDB-oracle-expressible:
+
+  top_terms               global term-frequency top-k (the wordcount
+                          shape): per-batch ``value_counts`` combiner
+                          -> tiny (term, cnt) shuffle -> groupby-sum
+                          -> sort/limit. The shuffle carries one row
+                          per distinct term per batch — never the
+                          token stream itself.
+  stratified_sample_docs  deterministic per-stratum sampling: keep a
+                          document iff its sha256-derived [0,100)
+                          bucket is below the stratum's percentage
+                          (reproducible across engines and runs,
+                          unlike random_sample).
+  redact_documents        vectorized RE2 redaction (emails, URLs,
+                          numbers) with per-pattern hit counts — the
+                          PII-scrub shape. The test corpus is word
+                          soup, so the operator synthesizes a
+                          deterministic contact string per document
+                          (the ``url_shape_filter`` pattern) and
+                          redacts that; on real data the same stage
+                          points at the text column.
+
+Tokenization parity: DuckDB ``regexp_extract_all(text, '\\S+')`` ==
+Arrow ``split_pattern_regex(text, '\\s+')`` minus empty strings (both
+are RE2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .curation import _sha256_buckets
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+NUM_PATTERN = r"[0-9]+"
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ top_terms
+
+def top_terms(docs, k: int = 20):
+    """-> Dataset of the k globally most frequent whitespace tokens
+    (term, cnt), ordered by (cnt desc, term asc).
+
+    Per-batch combiner: one vectorized split + ``value_counts`` per
+    batch emits (term, partial-count) rows, so the groupby shuffle
+    moves the per-batch VOCABULARY (sublinear in tokens), not the
+    token stream. The final sort ranks the small distinct-term table.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "term": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty-schema shuffle block
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"term": t.column("term"),
+                         "cnt": t.column("sum(cnt)")})
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("term").sum("cnt")
+            .map_batches(rename, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sort(["cnt", "term"], descending=[True, False])
+            .limit(k))
+
+
+TOP_TERMS_SQL = r"""
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY cnt DESC, term ASC
+    LIMIT {k}
+"""
+
+
+# ------------------------------------------- stratified hash sampling
+
+def stratified_sample_docs(sf_dir: str,
+                           pcts: dict[str, int] | None = None,
+                           default_pct: int = 50):
+    """-> Dataset of (doc_id, lang) kept by a per-language
+    deterministic sample: bucket = sha256(text) mod 100, keep iff
+    bucket < pct(lang).
+
+    One streaming filter pass, no shuffle; the per-row work is the
+    sha256 digests (C-backed, no batch kernel exists) — the bucket
+    compare and stratum lookup are vectorized.
+    """
+    pcts = pcts if pcts is not None else {"en": 20, "de": 80}
+
+    def flt(t: pa.Table) -> pa.Table:
+        bucket = _sha256_buckets(t.column("text").to_pylist())
+        lang = t.column("lang")
+        pct = np.full(t.num_rows, default_pct, dtype=np.int64)
+        for lg, p in pcts.items():
+            m = pc.equal(lang, pa.scalar(lg)).to_numpy(
+                zero_copy_only=False)
+            pct[m] = p
+        keep = pa.array(bucket < pct)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": lang}).filter(keep)
+
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql(pcts: dict[str, int], default_pct: int) -> str:
+    cases = " ".join(f"WHEN '{lg}' THEN {p}" for lg, p in
+                     sorted(pcts.items()))
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(sha256(text), 1, 8)) AS UBIGINT)
+              % 100 < CASE lang {cases} ELSE {default_pct} END
+    """
+
+
+# ------------------------------------------------------------ redaction
+
+def redact_documents(sf_dir: str):
+    """-> Dataset of (doc_id, redacted, n_emails, n_urls): RE2
+    redaction of emails -> <EMAIL>, URLs -> <URL>, then numbers ->
+    <NUM>, with pre-redaction hit counts.
+
+    All four scans/replaces are single C-level RE2 kernels per batch.
+    The input string is synthesized deterministically per document
+    (source/lang/doc_id contact line) because the synthetic corpus
+    contains no PII; the redaction stage itself is column-agnostic.
+    """
+
+    def redact(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.string())
+        msg = pc.binary_join_element_wise(
+            "contact ", t.column("source"), did, "@example.com see ",
+            "https://", t.column("lang"), ".example.com/", did,
+            " ref ", did, "")
+        n_emails = pc.cast(
+            pc.count_substring_regex(msg, EMAIL_PATTERN), pa.int64())
+        n_urls = pc.cast(
+            pc.count_substring_regex(msg, URL_PATTERN), pa.int64())
+        red = pc.replace_substring_regex(msg, EMAIL_PATTERN, "<EMAIL>")
+        red = pc.replace_substring_regex(red, URL_PATTERN, "<URL>")
+        red = pc.replace_substring_regex(red, NUM_PATTERN, "<NUM>")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "redacted": red,
+                         "n_emails": n_emails,
+                         "n_urls": n_urls})
+
+    return _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_SQL = r"""
+    WITH msgs AS (
+        SELECT doc_id,
+               'contact ' || source || CAST(doc_id AS VARCHAR)
+               || '@example.com see https://' || lang
+               || '.example.com/' || CAST(doc_id AS VARCHAR)
+               || ' ref ' || CAST(doc_id AS VARCHAR) AS msg
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(msg,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(msg,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(msg, 'https?://[^\s]+')) AS n_urls
+    FROM msgs
+"""

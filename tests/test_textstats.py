@@ -1,0 +1,75 @@
+"""Corpus text statistics: top_terms, stratified sampling, redaction."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from pagerank_ray.pipelines.textstats import (REDACT_SQL, TOP_TERMS_SQL,
+                                              redact_documents,
+                                              stratified_sample_docs,
+                                              stratified_sample_sql,
+                                              top_terms)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def _sorted_df(x):
+    df = x.to_pandas() if not hasattr(x, "columns") or callable(
+        getattr(x, "to_pandas", None)) else x
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_top_terms_counts_and_order():
+    docs = rd.from_arrow(pa.table({
+        "text": ["b a a", "  a  c ", "", "c b x"],
+    }))
+    out = top_terms(docs, k=3).to_pandas()
+    # counts: a=3, b=2, c=2, x=1 -> top3 = a, b, c (cnt desc, term asc)
+    assert out["term"].tolist() == ["a", "b", "c"]
+    assert out["cnt"].tolist() == [3, 2, 2]
+
+
+def test_top_terms_matches_duckdb():
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    got = _sorted_df(top_terms(docs, k=25))
+    exp = _sorted_df(_con().execute(TOP_TERMS_SQL.format(k=25)).df())
+    assert got.equals(exp)
+
+
+def test_stratified_sample_matches_duckdb_and_rates():
+    got = _sorted_df(stratified_sample_docs(
+        SF, pcts={"en": 20, "de": 80}, default_pct=50))
+    exp = _sorted_df(_con().execute(
+        stratified_sample_sql({"en": 20, "de": 80}, 50)).df())
+    assert got.equals(exp)
+    # strata actually sample at different rates
+    tot = _con().execute(
+        "SELECT lang, COUNT(*) c FROM documents GROUP BY lang").df()
+    tot = dict(zip(tot["lang"], tot["c"]))
+    kept = got.groupby("lang").size().to_dict()
+    if tot.get("en", 0) >= 50 and tot.get("de", 0) >= 50:
+        assert kept.get("en", 0) / tot["en"] < kept.get("de", 0) / tot["de"]
+
+
+def test_redact_documents():
+    out = redact_documents(SF).to_pandas()
+    # every synthesized contact line has exactly one email + one URL
+    assert (out["n_emails"] == 1).all()
+    assert (out["n_urls"] == 1).all()
+    assert out["redacted"].str.contains("<EMAIL>").all()
+    assert out["redacted"].str.contains("<URL>").all()
+    assert out["redacted"].str.contains("<NUM>").all()
+    # no digits survive redaction
+    assert not out["redacted"].str.contains(r"[0-9]").any()
+    got = _sorted_df(out)
+    exp = _sorted_df(_con().execute(REDACT_SQL).df())
+    assert got.equals(exp)
