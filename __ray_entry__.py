@@ -97,7 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.functions.text import (LangId, fingerprint_batch,
                                              quality_counts_batch,
                                              token_count)
-    from pagerank_ray.pipelines.dedup import (embedding_cosine_pairs,
+    from pagerank_ray.pipelines.dedup import (dedup_clusters,
+                                              embedding_cosine_pairs,
                                               embedding_cosine_pairs_lsh,
                                               exact_dedup,
                                               minhash_lsh_pairs,
@@ -356,6 +357,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
+    def q_dedup_clusters(sf_dir):
+        """End-to-end near-dup clustering: MinHash+LSH pairs ->
+        distributed connected components -> canonical min doc."""
+        _quiet()
+        return dedup_clusters(_docs(sf_dir), n=3, threshold=0.5)
+
     # ---- similarity / embeddings ----
 
     def q_embedding_near_dup(sf_dir):
@@ -543,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -749,6 +757,36 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": stratified_sample_sql(
             {"en": 20, "de": 80}, 50),
         "redact_documents": REDACT_SQL,
+        # dedup_clusters: connected components over the near-dup pair
+        # graph (exact-Jaccard pairs == LSH candidates at these
+        # thresholds, as for minhash_lsh) + one self-loop per doc so
+        # singletons cluster as themselves; min(lab) over the
+        # reachability closure = numeric min member — all integers.
+        "dedup_clusters": f"""
+            WITH RECURSIVE grams AS ({_GRAMS}),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+                           GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                                  COUNT(*) AS i
+                           FROM grams a JOIN grams b
+                             ON a.g = b.g AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT inter.a, inter.b
+                           FROM inter
+                           JOIN sizes sa ON sa.doc_id = inter.a
+                           JOIN sizes sb ON sb.doc_id = inter.b
+                           WHERE inter.i >=
+                                 0.5 * (sa.sz + sb.sz - inter.i)),
+                 und AS (SELECT a AS u, b AS v FROM pairs
+                         UNION SELECT b, a FROM pairs),
+                 r AS (SELECT doc_id AS node, doc_id AS lab
+                       FROM documents
+                       UNION
+                       SELECT und.v AS node, r.lab
+                       FROM r JOIN und ON und.u = r.node)
+            SELECT node AS doc_id, min(lab) AS canonical_id
+            FROM r GROUP BY node
+        """,
         "curate_documents": CURATE_SQL.format(
             lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(

@@ -288,6 +288,66 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
     return res.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+# ------------------------------------------------- near-dup clustering
+
+def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
+                   num_bands: int = 16, threshold: float = 0.5,
+                   join_partitions: int = 8,
+                   num_parts: int = 4) -> pa.Table:
+    """Near-duplicate CLUSTERING: (doc_id, canonical_id) where
+    canonical_id = min doc_id in the document's near-dup component.
+
+    The full 100-TB dedup composition: MinHash+LSH candidate pairs
+    (banded buckets, exact-Jaccard verified) form an edge list; one
+    self-loop per document makes every doc a node (singletons become
+    their own cluster); the engine's distributed hash-min connected
+    components labels the components; canonical = numeric min member.
+    Dropping rows with doc_id != canonical_id is the dedup policy.
+
+    The heavy stages (shingling, banding, pair verification, CC
+    iterations) are all distributed; the final label table is one row
+    per document — the query result itself — handled the same way as
+    the SQL-green ``connected_components_events`` surface.
+    """
+    import tempfile
+
+    from ..graph.build import build_graph
+    from ..graph.components import connected_components
+
+    ds = _to_ds(docs)
+    pairs = minhash_lsh_pairs(ds, n=n, num_perm=num_perm,
+                              num_bands=num_bands, threshold=threshold,
+                              join_partitions=join_partitions)
+    pair_edges = rd.from_arrow(pa.table({
+        "src": pc.cast(pairs.column("a"), pa.string()),
+        "dst": pc.cast(pairs.column("b"), pa.string()),
+    }))
+
+    def selfloop(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.string())
+        return pa.table({"src": d, "dst": d})
+
+    loops = ds.map_batches(selfloop, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    gdir = tempfile.mkdtemp(prefix="dedup_cc_")
+    build_graph(loops.union(pair_edges), gdir, num_parts=num_parts,
+                undirected=True)
+    cc = connected_components(gdir)  # (id, node, label), label=min id
+
+    # canonical = numeric min doc per component (vectorized; labels
+    # are dense internal ids, so one minimum.at scatter suffices)
+    node_int = pc.cast(cc.column("node"), pa.int64()).to_numpy()
+    lab = cc.column("label").to_numpy()
+    mins = np.full(len(node_int), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, lab, node_int)
+    canonical = mins[lab]
+    order = np.argsort(node_int, kind="stable")
+    return pa.table({
+        "doc_id": pa.array(node_int[order]),
+        "canonical_id": pa.array(canonical[order]),
+    })
+
+
 # -------------------------------------------------------------- SimHash
 
 def simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:

@@ -65,6 +65,43 @@ def test_minhash_lsh_finds_near_dups():
     assert 0.5 <= jac[(0, 1)] < 1.0
 
 
+def test_dedup_clusters_union_find_oracle():
+    """dedup_clusters == union-find over the minhash pair graph,
+    with singletons canonicalized as themselves."""
+    from pagerank_ray.pipelines.dedup import dedup_clusters
+
+    docs = _dup_docs()
+    out = dedup_clusters(docs, threshold=0.5)
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    parent = {i: i for i in docs.column("doc_id").to_pylist()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("a").to_pylist(),
+                    pairs.column("b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    expect = {d: min(members) for members in comp.values()
+              for d in members}
+
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("canonical_id").to_pylist()))
+    assert got == expect
+    # the fixture's known clusters: {0,1,2} and {4,5}; 3 singleton
+    assert got[0] == got[1] == got[2] == 0
+    assert got[4] == got[5] == 4
+    assert got[3] == 3
+
+
 def test_simhash_pairs():
     out = simhash_pairs(_dup_docs(), max_hamming=6)
     pairs = set(zip(out.column("a").to_pylist(),
