@@ -374,8 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_embedding_near_dup_lsh(sf_dir):
         """Scale path for embedding_near_dup: multi-table hyperplane
-        LSH buckets + exact cosine verify; approximate (recall-gated
-        by pytest vs the brute-force baseline) -> rows-only."""
+        LSH buckets + exact cosine verify. The ±1 SRP planes are
+        sha256-derived, so the WHOLE approximate path (bucketing,
+        Hamming-1 candidates, cosine verify) has an exact SQL oracle."""
         _quiet()
         import ray.data as rd
         return embedding_cosine_pairs_lsh(
@@ -391,11 +392,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.select(["query_id", "neighbor_id", "rnk"])
 
     def q_knn_lsh(sf_dir):
+        """SRP-LSH ANN with sha256-derived ±1 planes — bucketing,
+        own+Hamming-1 probing and cosine top-k all replayed by the
+        SQL oracle (exact value-hash check, not just recall)."""
         _quiet()
         import ray.data as rd
-        return knn_lsh(
+        t = knn_lsh(
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             query_ids=[0, 1, 2, 3, 4], k=10, nbits=8)
+        return t.select(["query_id", "neighbor_id", "rnk"])
 
     def q_knn_ivf(sf_dir):
         """IVF inverted-list ANN (k-means coarse quantizer);
@@ -707,6 +712,10 @@ _SIMHASH_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
+    from pagerank_ray.pipelines.dedup import \
+        embedding_lsh_pairs_sql as _emb_lsh_sql
+    from pagerank_ray.pipelines.similarity import \
+        knn_lsh_sql as _knn_lsh_sql
     from pagerank_ray.pipelines.textstats import (REDACT_SQL,
                                                   TOP_TERMS_SQL,
                                                   stratified_sample_sql)
@@ -950,6 +959,12 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
+
+        # the approximate LSH paths: deterministic sha256-derived ±1
+        # SRP planes make the bucketing itself SQL-replicable — these
+        # check the APPROXIMATE result exactly, not just recall
+        "knn_lsh": _knn_lsh_sql([0, 1, 2, 3, 4], 10, nbits=8),
+        "embedding_near_dup_lsh": _emb_lsh_sql(0.45),
 
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -559,6 +559,40 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
     })
 
 
+def embedding_lsh_pairs_sql(threshold: float = 0.95,
+                            num_tables: int = 6, nbits: int = 6,
+                            seed: int = 42) -> str:
+    """DuckDB oracle for ``embedding_cosine_pairs_lsh``: replays the
+    deterministic SRP bucketing (global bit j belongs to table j//nbits
+    with in-table weight 2^(j%nbits)); a pair is a candidate iff some
+    table's buckets are within Hamming distance 1 (own bucket ==
+    own-or-single-bit-probe bucket — exactly the engine's own×probe
+    self-join), then exact cosine >= threshold verifies."""
+    from .similarity import _SIGNS_SQL
+
+    signs = _SIGNS_SQL.format(seed=seed, total_bits=num_tables * nbits)
+    return f"""
+        WITH {signs},
+        tbkts AS (
+            SELECT vec_id, j // {nbits} AS t,
+                   CAST(SUM(CASE WHEN d > 0 THEN power(2, j % {nbits})
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, j // {nbits}),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM tbkts x JOIN tbkts y
+              ON x.t = y.t AND x.vec_id < y.vec_id
+            WHERE bit_count(xor(x.bucket, y.bucket)) <= 1)
+        SELECT cand.a, cand.b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.a
+        JOIN embeddings eb ON eb.vec_id = cand.b
+        WHERE list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_cosine_pairs(embs, threshold: float = 0.95) -> pa.Table:

@@ -107,15 +107,102 @@ def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
 
 
 class _HyperplaneHasher:
+    """Signed-random-projection hasher with DETERMINISTIC ±1 planes:
+    plane[j, i] = ±1 by the parity of the first hex nibble of
+    sha256("plane:{seed}:{j}:{i}") (i is 1-based to match SQL array
+    indexing). A symmetric ±1 sign distribution preserves the
+    cosine-LSH collision guarantee (Charikar 2002 SRP admits any
+    symmetric distribution), and — unlike gaussian RNG planes — the
+    bucketing is replicable in DuckDB (sha256 + strpos), so the
+    approximate LSH paths get full value-hash SQL oracles
+    (``knn_lsh_sql`` below, ``embedding_lsh_pairs_sql`` in dedup).
+    Bucket bits are scale-invariant (sign of the raw dot == sign of
+    the normalized dot), so the SQL side skips normalization."""
+
     def __init__(self, dim: int, nbits: int = 8, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.randn(nbits, dim)
+        import hashlib
+        planes = np.empty((nbits, dim), np.float64)
+        for j in range(nbits):
+            for i in range(1, dim + 1):
+                digest = hashlib.sha256(
+                    f"plane:{seed}:{j}:{i}".encode()).hexdigest()
+                planes[j, i - 1] = 1.0 if int(digest[0], 16) % 2 else -1.0
+        self.planes = planes
         self.nbits = nbits
 
     def sign_bits(self, m: np.ndarray) -> np.ndarray:
         bits = (m @ self.planes.T) > 0
         weights = (1 << np.arange(self.nbits)).astype(np.int64)
         return bits.astype(np.int64) @ weights
+
+
+# shared SQL fragment: the ±1 plane matrix as a (j, i, s) relation —
+# identical integers to _HyperplaneHasher (DuckDB sha256 == hashlib)
+_SIGNS_SQL = """
+        signs AS (
+            SELECT j.j, i.i,
+                   CASE WHEN (strpos('0123456789abcdef',
+                              substr(sha256('plane:{seed}:'
+                                     || CAST(j.j AS VARCHAR) || ':'
+                                     || CAST(i.i AS VARCHAR)), 1, 1))
+                              - 1) % 2 = 1
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT unnest(range(0, {total_bits})) AS j) j,
+                 (SELECT unnest(range(1,
+                      (SELECT max(len(embedding)) FROM embeddings) + 1))
+                      AS i) i),
+        dots AS (
+            SELECT e.vec_id, s.j, SUM(e.v[s.i] * s.s) AS d
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings) e
+            JOIN signs s ON s.i <= len(e.v)
+            GROUP BY e.vec_id, s.j)
+"""
+
+
+def knn_lsh_sql(query_ids: list[int], k: int, nbits: int = 8,
+                seed: int = 42) -> str:
+    """DuckDB oracle for ``knn_lsh``: replays the deterministic SRP
+    bucketing (sign of Σ v[i]·plane[j,i] > 0, bit j weight 2^j), the
+    own+Hamming-1 probe set (xor single-bit flips), and the exact
+    cosine top-k with (cos desc, id asc) tiebreak."""
+    qids = ", ".join(str(int(q)) for q in query_ids)
+    signs = _SIGNS_SQL.format(seed=seed, total_bits=nbits)
+    return f"""
+        WITH {signs},
+        bkts AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d > 0 THEN power(2, j)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, bucket FROM bkts
+              WHERE vec_id IN ({qids})),
+        probes AS (
+            SELECT query_id, bucket AS pb FROM q
+            UNION ALL
+            SELECT query_id,
+                   xor(bucket, CAST(power(2, f.f) AS BIGINT))
+            FROM q, (SELECT unnest(range(0, {nbits})) AS f) f),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            FROM probes p JOIN bkts c ON c.bucket = p.pb
+            WHERE c.vec_id <> p.query_id),
+        sims AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(
+                       CAST(qe.embedding AS DOUBLE[]),
+                       CAST(ne.embedding AS DOUBLE[])) AS cs
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM sims)
+        SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= {k}
+    """
 
 
 def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,

@@ -155,7 +155,10 @@ def test_knn_bruteforce_matches_numpy():
 def test_knn_lsh_recall():
     t = _emb_table(n=60)
     exact = knn_bruteforce(t, query_ids=[0, 10], k=5)
-    approx = knn_lsh(t, query_ids=[0, 10], k=5, nbits=6)
+    # nbits=4: own + Hamming-1 probes cover 5/16 of bucket space on a
+    # UNIFORM random corpus (cosine ~0 everywhere — the hard case for
+    # SRP); measured recall 0.5 with the deterministic ±1 planes
+    approx = knn_lsh(t, query_ids=[0, 10], k=5, nbits=4)
     ex = {}
     for r in exact.to_pylist():
         ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
