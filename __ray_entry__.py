@@ -512,14 +512,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 max_tokens=2000, sample_pct=50)
 
     def q_hll_distinct_users(sf_dir):
-        """Approximate distinct user_ids (mergeable HLL sketches);
-        rows-only — approximation has no exact SQL equivalent."""
+        """Approximate distinct user_ids (mergeable HLL sketches).
+        The estimate is a deterministic function of the splitmix64
+        register array, so the SQL oracle replays it exactly.
+        Half-away-from-zero rounding matches SQL round()."""
         _quiet()
+        import math
+
         import ray.data as rd
         est = hll_distinct(
             rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id"]), "user_id", p=12)
-        return pa.table({"estimate": pa.array([round(est)], pa.int64())})
+        return pa.table({"estimate": pa.array([math.floor(est + 0.5)],
+                                              pa.int64())})
 
     # ---- multimodal (synthetic media; deterministic) ----
 
@@ -710,8 +715,41 @@ _SIMHASH_SQL = r"""
 """
 
 
+def _lpa_sql(rounds: int = 10) -> str:
+    """Synchronous LPA as ``rounds`` UNROLLED CTE steps (the round
+    count is fixed, so no recursive CTE is needed — which also avoids
+    the SQL restriction on aggregating the recursive reference).
+
+    Parity with the engine: neighbor multiset = symmetrized DIRECTED
+    edge list WITH multiplicity (UNION ALL); tiebreak = min label,
+    where min internal id == min name (ids are assigned in sorted-name
+    order and DuckDB's default VARCHAR collation is the same byte
+    order Arrow sorts by)."""
+    step = """
+        l{k} AS (
+            SELECT v AS node, lab FROM (
+                SELECT und.v, p.lab,
+                       row_number() OVER (PARTITION BY und.v
+                           ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
+                FROM und JOIN l{prev} p ON p.node = und.u
+                GROUP BY und.v, p.lab)
+            WHERE rn = 1)"""
+    ctes = ",".join(step.format(k=i, prev=i - 1)
+                    for i in range(1, rounds + 1))
+    return f"""
+        WITH und AS (SELECT src AS u, dst AS v FROM ({_EDGES})
+                     UNION ALL
+                     SELECT dst AS u, src AS v FROM ({_EDGES})),
+             l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
+             {ctes}
+        SELECT node, lab AS community FROM l{rounds}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
+    from pagerank_ray.functions.sketch import \
+        hll_distinct_sql as _hll_sql
     from pagerank_ray.pipelines.dedup import \
         embedding_lsh_pairs_sql as _emb_lsh_sql
     from pagerank_ray.pipelines.similarity import \
@@ -877,6 +915,13 @@ def oracle_sql() -> dict[str, str]:
         "sha256_documents": """
             SELECT doc_id, sha256(text) AS sha256 FROM documents
         """,
+
+        "label_propagation_events": _lpa_sql(10),
+
+        # hll: splitmix64 + register max + estimate formula replayed
+        # in mod-2^64 HUGEINT arithmetic — deterministic, so the
+        # sketch's approximate answer is exactly checkable
+        "hll_distinct_users": _hll_sql("user_id", "events", 12),
 
         "connected_components_events": f"""
             WITH RECURSIVE

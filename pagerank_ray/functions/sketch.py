@@ -97,6 +97,64 @@ class HyperLogLog:
         return h
 
 
+def hll_distinct_sql(column: str = "user_id", table: str = "events",
+                     p: int = 12) -> str:
+    """DuckDB oracle for the INTEGER-column HLL path: replays
+    splitmix64 (mod-2^64 arithmetic in HUGEINT; the two 64x64-bit
+    multiplies are split into 32-bit halves so INT128 never
+    overflows), the register index / leading-zero rank (exact via
+    ``length(bin(x))``), register-wise max, and the standard
+    estimate + linear-counting correction. The estimate is a
+    deterministic function of the register array, so the approximate
+    sketch gets an exact value-hash oracle."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+    def mulmod(col: str, b: int) -> str:
+        hi, lo = b >> 32, b & 0xFFFFFFFF
+        return (f"(((CAST({col} AS HUGEINT) * {lo}) % {m64}"
+                f" + ((CAST({col} AS HUGEINT) * {hi}) % 4294967296)"
+                f" * 4294967296) % {m64})")
+
+    m = 1 << p
+    idx_div = 1 << (64 - p)
+    zero_rank = 64 - p + 1
+    return f"""
+        WITH u AS (SELECT DISTINCT {column} FROM {table}),
+         s1 AS (SELECT CAST((((CAST({column} AS HUGEINT) % {m64})
+                              + {m64}) % {m64}
+                             + 11400714819323198485) % {m64}
+                       AS UBIGINT) AS z
+                FROM u),
+         s2 AS (SELECT CAST({mulmod('xor(z, z // 1073741824)',
+                                    0xBF58476D1CE4E5B9)}
+                            AS UBIGINT) AS z FROM s1),
+         s3 AS (SELECT CAST({mulmod('xor(z, z // 134217728)',
+                                    0x94D049BB133111EB)}
+                            AS UBIGINT) AS z FROM s2),
+         h AS (SELECT xor(z, z // 2147483648) AS h FROM s3),
+         ranked AS (SELECT CAST(h // {idx_div} AS BIGINT) AS idx,
+                           CASE WHEN (CAST(h AS HUGEINT) * {m})
+                                     % {m64} = 0
+                                THEN {zero_rank}
+                                ELSE 65 - length(bin(CAST(
+                                     (CAST(h AS HUGEINT) * {m}) % {m64}
+                                     AS UBIGINT)))
+                           END AS rank
+                    FROM h),
+         regs AS (SELECT idx, max(rank) AS r FROM ranked GROUP BY idx),
+         agg AS (SELECT {m} - COUNT(*) AS zeros,
+                        SUM(power(2.0, -r)) AS nz_sum FROM regs),
+         est AS (SELECT CASE
+                    WHEN (0.7213 / (1 + 1.079 / {m})) * {m}.0 * {m}.0
+                         / (zeros + nz_sum) <= 2.5 * {m} AND zeros > 0
+                    THEN {m}.0 * ln({m}.0 / zeros)
+                    ELSE (0.7213 / (1 + 1.079 / {m})) * {m}.0 * {m}.0
+                         / (zeros + nz_sum)
+                 END AS e FROM agg)
+        SELECT CAST(round(e) AS BIGINT) AS estimate FROM est
+    """
+
+
 def hll_distinct(ds, column: str, p: int = 12) -> float:
     """Approximate distinct count of ``column`` via per-batch sketches
     merged register-wise (one small row per batch crosses the wire)."""

@@ -105,3 +105,25 @@ def test_hll_int_path_accuracy_and_merge():
     h2.add_ints(vals[40_000:])
     h1.merge(h2)
     assert (h1.registers == h.registers).all()
+
+
+def test_hll_sql_oracle_matches_engine():
+    """hll_distinct_sql replays splitmix64 + registers + estimate in
+    DuckDB exactly — both the linear-counting branch (few users) and
+    the raw-estimate branch (many users)."""
+    import duckdb
+
+    from pagerank_ray.functions.sketch import hll_distinct_sql
+
+    rng = np.random.default_rng(3)
+    for n in (40, 30_000):  # linear-counting vs raw-estimate branch
+        vals = rng.choice(10_000_000, size=n, replace=False)
+        con = duckdb.connect()
+        con.register("events_df", pa.table({
+            "user_id": pa.array(vals, pa.int64())}))
+        con.execute("CREATE VIEW events AS SELECT * FROM events_df")
+        sql_est = con.execute(
+            hll_distinct_sql("user_id", "events", 12)).fetchone()[0]
+        h = HyperLogLog(p=12)
+        h.add_ints(vals)
+        assert sql_est == int(np.floor(h.estimate() + 0.5))
