@@ -462,7 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
-    from pagerank_ray.pipelines.warehouse import (pricing_summary,
+    from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
+                                                  pricing_summary,
                                                   top_revenue_orders)
 
     def q_pricing_summary(sf_dir):
@@ -472,6 +473,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_revenue_orders(sf_dir):
         _quiet()
         return top_revenue_orders(sf_dir, segment="BUILDING", k=10)
+
+    def q_bloom_pruned_order_lines(sf_dir):
+        """Selective join with Bloom-pruned big side: the filter only
+        reduces shuffle traffic, so the plain-join SQL is exact."""
+        _quiet()
+        return bloom_pruned_order_lines(sf_dir, priority="1-URGENT")
 
     # ---- corpus text statistics ----
 
@@ -583,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
     }
 
@@ -762,7 +770,8 @@ def oracle_sql() -> dict[str, str]:
         MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
         SESSIONIZE_SQL, SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
         WINDOWED_EVENT_AGG_SQL)
-    from pagerank_ray.pipelines.warehouse import (PRICING_SUMMARY_SQL,
+    from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
+                                                  PRICING_SUMMARY_SQL,
                                                   TOP_REVENUE_SQL)
 
     return {
@@ -852,6 +861,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),
+        "bloom_pruned_order_lines": BLOOM_JOIN_SQL.format(
+            priority="1-URGENT"),
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

@@ -14,6 +14,16 @@ import numpy as np
 import pyarrow as pa
 
 
+def splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: full-avalanche uint64 mixing,
+    deterministic across processes/platforms (unlike Python hash())."""
+    with np.errstate(over="ignore"):
+        z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 class HyperLogLog:
     """Standard HLL with 2^p registers and the usual bias corrections."""
 
@@ -62,14 +72,7 @@ class HyperLogLog:
         no per-row Python hashing."""
         if len(v) == 0:
             return
-        with np.errstate(over="ignore"):
-            z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(
-                0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(
-                0x94D049BB133111EB)
-            z = z ^ (z >> np.uint64(31))
-        self.add_hashes(z)
+        self.add_hashes(splitmix64(v))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p

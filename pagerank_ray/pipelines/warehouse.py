@@ -210,6 +210,84 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 
 
+def bloom_pruned_order_lines(sf_dir: str, priority: str = "1-URGENT",
+                             fp_rate: float = 0.01,
+                             use_bloom: bool = True):
+    """Per-order lineitem rollup for orders of ``priority``, with the
+    BIG side Bloom-pruned before any shuffle — the selective-join
+    scale pattern. Returns (orderkey, n_lines, sum_qty).
+
+    The small side (priority-filtered orders) builds a mergeable
+    Bloom filter over o_orderkey (per-batch sketches, OR-merge; only
+    m/8-byte blobs cross the wire). The filter broadcasts once via
+    ray.put; a vectorized membership test prunes lineitem rows at the
+    scan, so the per-order combiner + groupby + exact semi-join
+    shuffle only matching rows plus the fp_rate sliver (which the
+    exact join removes). ``use_bloom=False`` runs the identical plan
+    unpruned — results are equal by construction (equality-tested);
+    the filter is pure shuffle-traffic reduction.
+    """
+    from ..stages.bloom import bloom_prune, build_bloom
+    from ..stages.join import default_join_partitions, hash_join
+
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                        pa.scalar(priority)))
+            .select(["o_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    if use_bloom:
+        bloom = build_bloom(keys, "o_orderkey",
+                            n_expected=keys.count(), fp_rate=fp_rate)
+        li = bloom_prune(li, bloom, "l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "qty": t.column("l_quantity").to_numpy()})
+              .groupby("l_orderkey", sort=False)
+              .agg(n_lines=("qty", "size"), qty=("qty", "sum"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_orderkey").sum(["n_lines", "qty"]))
+
+    joined = hash_join(agg.repartition(default_join_partitions()),
+                       keys, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"orderkey": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.float64())})
+        return pa.table({
+            "orderkey": t.column("l_orderkey"),
+            "n_lines": pc.cast(t.column("sum(n_lines)"), pa.int64()),
+            "sum_qty": pa.array(np.round(
+                t.column("sum(qty)").to_numpy(), 2)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+BLOOM_JOIN_SQL = """
+    SELECT l.l_orderkey AS orderkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '{priority}'
+    GROUP BY 1
+"""
+
+
 TOP_REVENUE_SQL = f"""
     SELECT o.o_orderkey,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
