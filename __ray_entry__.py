@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
                                                   pricing_summary,
+                                                  promo_revenue_by_month,
+                                                  revenue_by_nation,
                                                   top_revenue_orders)
 
     def q_pricing_summary(sf_dir):
@@ -473,6 +475,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_revenue_orders(sf_dir):
         _quiet()
         return top_revenue_orders(sf_dir, segment="BUILDING", k=10)
+
+    def q_revenue_by_nation(sf_dir):
+        """TPC-H Q5 shape: 5-way join (region/nation driver constant,
+        partitioned orders⋈customer and lineitem⋈orders joins,
+        broadcast supplier lookup) + same-nation filter."""
+        _quiet()
+        return revenue_by_nation(sf_dir, region="ASIA")
+
+    def q_promo_revenue_by_month(sf_dir):
+        """TPC-H Q14 shape: part⋈lineitem partitioned join, per-month
+        promo revenue share."""
+        _quiet()
+        return promo_revenue_by_month(sf_dir)
 
     def q_bloom_pruned_order_lines(sf_dir):
         """Selective join with Bloom-pruned big side: the filter only
@@ -590,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "promo_revenue_by_month": q_promo_revenue_by_month,
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
     }
@@ -772,6 +789,8 @@ def oracle_sql() -> dict[str, str]:
         WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
                                                   PRICING_SUMMARY_SQL,
+                                                  PROMO_REVENUE_SQL,
+                                                  REVENUE_BY_NATION_SQL,
                                                   TOP_REVENUE_SQL)
 
     return {
@@ -863,6 +882,10 @@ def oracle_sql() -> dict[str, str]:
             segment="BUILDING", k=10),
         "bloom_pruned_order_lines": BLOOM_JOIN_SQL.format(
             priority="1-URGENT"),
+        "revenue_by_nation": REVENUE_BY_NATION_SQL.format(
+            region="ASIA", date_from="1996-01-01",
+            date_to="1998-01-01"),
+        "promo_revenue_by_month": PROMO_REVENUE_SQL,
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""

@@ -278,6 +278,236 @@ def bloom_pruned_order_lines(sf_dir: str, priority: str = "1-URGENT",
                               zero_copy_batch=True)
 
 
+def revenue_by_nation(sf_dir: str, region: str = "ASIA",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1998-01-01"):
+    """TPC-H Q5 shape: per-nation revenue from lineitems whose
+    SUPPLIER sits in the same nation as the ordering CUSTOMER, for
+    customers of ``region`` and orders in [date_from, date_to).
+    Returns (n_name, revenue).
+
+    Join strategy by side size (the Q5 textbook plan, Ray-Data-first):
+    region ⋈ nation collapses to a driver-side nation set (25 rows —
+    genuinely constant); customer pre-filters to the region's nations
+    BEFORE the join so the orders exchange only carries region
+    customers; orders ⋈ customer and lineitem ⋈ orders are partitioned
+    hash joins (all three big at scale); supplier's (suppkey ->
+    nationkey) map broadcasts via ray.put (here 100 rows; at TPC-H
+    scale supplier grows linearly — flip that lookup to a fourth hash
+    join, same shape as the other two). Revenue pre-aggregates per
+    batch before the O(nations) groupby.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+
+    # region -> nation keys + names (25 rows; driver-side constant)
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    regk = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    regk = set(regk.loc[regk["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(regk)]
+    nat_keys = pa.array(nation["n_nationkey"].to_numpy())
+    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: t.filter(pc.is_valid(pc.index_in(
+                t.column("c_nationkey"), value_set=nat_keys))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(int(lo))),
+                       pc.less(od, pa.scalar(int(hi))))
+        return t.select(["o_orderkey", "o_custkey"]).filter(keep)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    j1 = hash_join(orders, cust, on=("o_custkey",),
+                   right_on=("c_custkey",)).repartition(nparts)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "rev": pa.array(price * (1.0 - disc)),
+        })
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+            li_side, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = hash_join(lineitem, j1, on=("l_orderkey",),
+                   right_on=("o_orderkey",)).repartition(nparts)
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).to_pandas()
+    sref = ray.put((pa.array(supp["s_suppkey"].to_numpy()),
+                    supp["s_nationkey"].to_numpy()))
+
+    class SameNationRev:
+        """suppkey -> nationkey lookup fetched once per actor;
+        per-batch filter supp_nation == cust_nation + partial agg."""
+
+        def __init__(self, sref):
+            self.skeys, self.snation = ray.get(sref) if isinstance(
+                sref, ray.ObjectRef) else sref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.float64())})
+            pos = pc.index_in(t.column("l_suppkey"),
+                              value_set=self.skeys).to_numpy(
+                                  zero_copy_only=False)
+            valid = pos == pos  # non-null
+            snat = np.full(t.num_rows, -1, dtype=np.int64)
+            snat[valid] = self.snation[pos[valid].astype(np.int64)]
+            keep = snat == t.column("c_nationkey").to_numpy()
+            df = (pd.DataFrame({
+                    "n_nationkey": snat[keep],
+                    "rev": t.column("rev").to_numpy()[keep]})
+                  .groupby("n_nationkey", sort=False).sum()
+                  .reset_index())
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (j2.map_batches(SameNationRev, fn_constructor_args=(sref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+           .groupby("n_nationkey").sum("rev"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        keys = t.column("n_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nat_names[k] for k in keys],
+                               pa.string()),
+            "revenue": pa.array(np.round(
+                t.column("sum(rev)").to_numpy(), 2)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+REVENUE_BY_NATION_SQL = """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = '{region}'
+      AND o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate <  TIMESTAMP '{date_to}'
+    GROUP BY n.n_name
+"""
+
+
+def promo_revenue_by_month(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month, revenue from PROMO-type parts
+    and its share of total revenue. Returns
+    (month, promo_rev, total_rev, promo_share_pct).
+
+    part ⋈ lineitem is a partitioned hash join (both grow with scale);
+    the promo flag rides the join, and the per-month rollup
+    pre-aggregates inside map_batches so the groupby shuffle carries
+    two floats per (batch, month).
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "is_promo": pc.cast(pc.equal(t.column("p_type"),
+                                         pa.scalar("PROMO")),
+                                pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    joined = hash_join(li, part, on=("l_partkey",),
+                       right_on=("p_partkey",)).repartition(
+                           default_join_partitions())
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"month": pa.array([], pa.string()),
+                             "promo_rev": pa.array([], pa.float64()),
+                             "total_rev": pa.array([], pa.float64())})
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))
+        month = pc.strftime(t.column("l_shipdate"), format="%Y-%m")
+        promo = t.column("is_promo").to_numpy()
+        df = (pd.DataFrame({"month": month.to_pylist(),
+                            "promo_rev": rev * promo,
+                            "total_rev": rev})
+              .groupby("month", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("month").sum(["promo_rev", "total_rev"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "month": pa.array([], pa.string()),
+                "promo_rev": pa.array([], pa.float64()),
+                "total_rev": pa.array([], pa.float64()),
+                "promo_share_pct": pa.array([], pa.float64())})
+        p = t.column("sum(promo_rev)").to_numpy()
+        tot = t.column("sum(total_rev)").to_numpy()
+        # 2-decimal price x 2-decimal discount -> revenue terms live
+        # on an EXACT 1e-4 grid; rounding to 4 decimals recovers the
+        # grid value on both engines (accumulation error ~1e-9 << the
+        # 5e-5 half-grid distance), whereas 2-decimal rounding can
+        # straddle when a true sum lands on a .005 half-point
+        return pa.table({
+            "month": t.column("month"),
+            "promo_rev": pa.array(np.round(p, 4)),
+            "total_rev": pa.array(np.round(tot, 4)),
+            "promo_share_pct": pa.array(np.round(100.0 * p / tot, 4)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+PROMO_REVENUE_SQL = """
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+           ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 4) AS promo_rev,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS total_rev,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+"""
+
+
 BLOOM_JOIN_SQL = """
     SELECT l.l_orderkey AS orderkey,
            COUNT(*) AS n_lines,

@@ -55,3 +55,43 @@ def test_top_revenue_orders_matches_pandas():
     assert np.allclose(got.column("revenue").to_numpy(),
                        want["rev"].to_numpy(), atol=0.011)
     assert got.num_rows == 10
+
+
+def test_revenue_by_nation_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (REVENUE_BY_NATION_SQL,
+                                                  revenue_by_nation)
+
+    got = revenue_by_nation(SF, region="ASIA").to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(REVENUE_BY_NATION_SQL.format(
+        region="ASIA", date_from="1996-01-01",
+        date_to="1998-01-01")).df().sort_values("n_name").reset_index(
+            drop=True)
+    assert got.equals(exp[["n_name", "revenue"]])
+    assert len(got) > 0  # the same-nation filter keeps real rows
+
+
+def test_promo_revenue_by_month_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (PROMO_REVENUE_SQL,
+                                                  promo_revenue_by_month)
+
+    got = promo_revenue_by_month(SF).to_pandas().sort_values(
+        "month").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(PROMO_REVENUE_SQL).df().sort_values(
+        "month").reset_index(drop=True)
+    cols = ["month", "promo_rev", "total_rev", "promo_share_pct"]
+    assert got[cols].equals(exp[cols])
+    assert (got["promo_share_pct"].between(0, 100)).all()
