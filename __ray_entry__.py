@@ -416,8 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.pipelines.relational import (
         asof_join_events_orders, broadcast_join_orders_customer,
         distinct_users_per_type, modal_event_type_per_user,
-        quantiles_per_type, range_join_events, sessionize_events,
-        sliding_event_agg, topk_docs_per_lang, windowed_event_agg)
+        props_key_stats, quantiles_per_type, range_join_events,
+        sessionize_events, sliding_event_agg, topk_docs_per_lang,
+        windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
         _quiet()
@@ -459,6 +460,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_modal_event_type_per_user(sf_dir):
         _quiet()
         return modal_event_type_per_user(sf_dir)
+
+    def q_props_key_stats(sf_dir):
+        """Semi-structured: RE2 JSON-field extraction from the props
+        string column + per-type integer stats."""
+        _quiet()
+        return props_key_stats(sf_dir)
 
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
@@ -603,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
+        "props_key_stats": q_props_key_stats,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -784,9 +792,9 @@ def oracle_sql() -> dict[str, str]:
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
-        MODAL_TYPE_SQL, QUANTILES_SQL, RANGE_JOIN_SQL,
-        SESSIONIZE_SQL, SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
-        WINDOWED_EVENT_AGG_SQL)
+        MODAL_TYPE_SQL, PROPS_KEY_STATS_SQL, QUANTILES_SQL,
+        RANGE_JOIN_SQL, SESSIONIZE_SQL, SLIDING_EVENT_AGG_SQL,
+        TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
@@ -877,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_SQL.format(
             gap_us=30 * 60_000_000),
         "modal_event_type_per_user": MODAL_TYPE_SQL,
+        "props_key_stats": PROPS_KEY_STATS_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

@@ -721,3 +721,71 @@ BROADCAST_JOIN_SQL = """
            c.c_name, c.c_mktsegment
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 """
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field "k" out of
+    the JSON-string ``props`` column (one vectorized RE2 scan per
+    batch, no per-row json.loads) and aggregate per event_type.
+    Returns (event_type, cnt, k_sum, k_min, k_max) — all integers.
+
+    Partial aggregation inside map_batches (count/sum/min/max per
+    type per batch), merged by a groupby with the matching combiners
+    (Sum/Sum/Min/Max), so the shuffle carries one row per (batch,
+    type), never the parsed values.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column("props"),
+                               r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": np.asarray(
+                t.column("event_type").to_pylist(), dtype=object)[valid],
+            "k": k.to_numpy(zero_copy_only=False)[valid].astype(np.int64),
+        })
+        g = (df.groupby("event_type", sort=False)
+             .agg(cnt=("k", "size"), k_sum=("k", "sum"),
+                  k_min=("k", "min"), k_max=("k", "max"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("cnt"), Sum("k_sum"), Min("k_min"),
+                      Max("k_max")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "k_sum": pa.array([], pa.int64()),
+                             "k_min": pa.array([], pa.int64()),
+                             "k_max": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cnt": pc.cast(t.column("sum(cnt)"), pa.int64()),
+            "k_sum": pc.cast(t.column("sum(k_sum)"), pa.int64()),
+            "k_min": pc.cast(t.column("min(k_min)"), pa.int64()),
+            "k_max": pc.cast(t.column("max(k_max)"), pa.int64()),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+PROPS_KEY_STATS_SQL = r"""
+    SELECT event_type, COUNT(*) AS cnt, SUM(k) AS k_sum,
+           MIN(k) AS k_min, MAX(k) AS k_max
+    FROM (SELECT event_type,
+                 CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1),
+                             '') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+"""

@@ -256,3 +256,23 @@ def test_sliding_event_agg_overlap_semantics():
         assert abs(got[kk][1] - want[kk][1]) < 0.011
     # total mass: every event counted exactly 4x
     assert sum(c for c, _ in got.values()) == 4 * len(ev)
+
+
+def test_props_key_stats_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (PROPS_KEY_STATS_SQL,
+                                                   props_key_stats)
+
+    sf = "/root/testdata/sf0.001"
+    got = props_key_stats(sf).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(PROPS_KEY_STATS_SQL).df().sort_values(
+        "event_type").reset_index(drop=True)
+    cols = ["event_type", "cnt", "k_sum", "k_min", "k_max"]
+    assert got[cols].astype({c: "int64" for c in cols[1:]}).equals(
+        exp[cols].astype({c: "int64" for c in cols[1:]}))
+    assert got["cnt"].sum() > 0
