@@ -108,7 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.pipelines.multimodal import (featurize_media,
                                                    synth_media_table)
     from pagerank_ray.pipelines.similarity import (knn_bruteforce,
-                                                   knn_ivf, knn_lsh)
+                                                   knn_ivf, knn_lsh,
+                                                   label_centroids)
     from pagerank_ray.stages.encode import distinct_nodes
     from pagerank_ray.stages.filters import (URL_DROP_PATTERN,
                                              inlink_ratio_filter)
@@ -411,6 +412,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
             query_ids=[0, 1, 2, 3, 4], k=10)
 
+    def q_label_centroids(sf_dir):
+        """Vector-column aggregation: per-label mean embedding via a
+        scatter-add combiner (shuffle carries labels x dims partials,
+        never vectors)."""
+        _quiet()
+        return label_centroids(sf_dir)
+
     # ---- relational / stream-shaped ----
 
     from pagerank_ray.pipelines.relational import (
@@ -595,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "label_centroids": q_label_centroids,
         "top_terms": q_top_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
@@ -785,8 +794,9 @@ def oracle_sql() -> dict[str, str]:
         hll_distinct_sql as _hll_sql
     from pagerank_ray.pipelines.dedup import \
         embedding_lsh_pairs_sql as _emb_lsh_sql
-    from pagerank_ray.pipelines.similarity import \
-        knn_lsh_sql as _knn_lsh_sql
+    from pagerank_ray.pipelines.similarity import (LABEL_CENTROIDS_SQL,
+                                                   knn_lsh_sql as
+                                                   _knn_lsh_sql)
     from pagerank_ray.pipelines.textstats import (REDACT_SQL,
                                                   TOP_TERMS_SQL,
                                                   stratified_sample_sql)
@@ -1053,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         # check the APPROXIMATE result exactly, not just recall
         "knn_lsh": _knn_lsh_sql([0, 1, 2, 3, 4], 10, nbits=8),
         "embedding_near_dup_lsh": _emb_lsh_sql(0.45),
+        "label_centroids": LABEL_CENTROIDS_SQL,
 
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

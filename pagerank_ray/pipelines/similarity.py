@@ -424,3 +424,68 @@ def knn_ivf(embs, query_ids: list[int], k: int = 10,
         "qvec": pa.array(pv, pa.binary()),
     }))
     return _probe_join_topk(bucketed, probes, k, num_partitions)
+
+
+def label_centroids(sf_dir: str, round_to: int = 6):
+    """Per-label mean embedding (class prototypes), as one
+    (label, dim, centroid) row per vector component.
+
+    Vector-column aggregation with a per-batch combiner: each batch
+    scatter-adds its vectors into per-label partial sums (numpy
+    add.at), so the groupby shuffle carries labels x dims partial
+    rows per batch — never the vectors. centroid rounds to
+    ``round_to`` decimals for cross-engine float parity (sum order
+    differs; quotient error ~1e-14 << the rounding grid).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy().astype(np.int64)
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnts = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(labs, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(labs))),
+            "s": pa.array(sums.ravel()),
+            "cnt": pa.array(np.repeat(cnts, d)),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"]).sum(["s", "cnt"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "centroid": pa.array([], pa.float64())})
+        s = t.column("sum(s)").to_numpy()
+        c = t.column("sum(cnt)").to_numpy()
+        return pa.table({
+            "label": t.column("label"),
+            "dim": t.column("dim"),
+            "centroid": pa.array(np.round(s / c, round_to)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+LABEL_CENTROIDS_SQL = """
+    SELECT CAST(e.label AS BIGINT) AS label, i.i AS dim,
+           ROUND(SUM(e.v[i.i]) / COUNT(*), 6) AS centroid
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings) e,
+         (SELECT unnest(range(1,
+              (SELECT max(len(embedding)) FROM embeddings) + 1))
+              AS i) i
+    WHERE i.i <= len(e.v)
+    GROUP BY e.label, i.i
+"""

@@ -280,3 +280,31 @@ def test_knn_ivf_recall():
     assert 1 in ap[0] and 11 in ap[10]   # planted near-dups found
     total = sum(len(ex[q] & ap.get(q, set())) for q in ex)
     assert total >= 0.6 * sum(len(v) for v in ex.values())
+
+
+def test_label_centroids_matches_duckdb_and_numpy():
+    import duckdb
+
+    from pagerank_ray.pipelines.similarity import (LABEL_CENTROIDS_SQL,
+                                                   label_centroids)
+
+    sf = "/root/testdata/sf0.001"
+    got = label_centroids(sf).to_pandas().sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    exp = con.execute(LABEL_CENTROIDS_SQL).df().sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    cols = ["label", "dim", "centroid"]
+    assert got[cols].equals(exp[cols])
+    # spot-check one label against plain numpy
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    lab = t.column("label").to_numpy()
+    m = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    l0 = lab[0]
+    want = np.round(m[lab == l0].mean(axis=0), 6)
+    have = got[got["label"] == l0].sort_values("dim")["centroid"].to_numpy()
+    assert np.array_equal(have, want)
