@@ -145,15 +145,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_edge_weights(sf_dir):
         """Per-(src,dst) weight = cnt / outdeg(src) — A2 semantics with
-        duplicate summing (count(s,t)/outdeg as the coalesced weight)."""
+        duplicate summing (count(s,t)/outdeg as the coalesced weight).
+        Fully Dataset-shaped: pair-count groupby, per-src outdegree
+        groupby, partitioned hash join, vectorized division — nothing
+        but the result table reaches the driver."""
         _quiet()
-        edges = edges_from_events(sf_dir)
-        cnt = edges.groupby(["src", "dst"]).count().to_pandas()
-        outdeg = cnt.groupby("src", sort=False)["count()"].transform("sum")
-        cnt = cnt.rename(columns={"count()": "cnt"})
-        cnt["weight"] = cnt["cnt"].astype(np.float64) / \
-            outdeg.to_numpy().astype(np.float64)
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        from pagerank_ray.stages.join import hash_join
+
+        def rename_cnt(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"src": t.column("src"),
+                             "dst": t.column("dst"),
+                             "cnt": pc.cast(t.column("count()"),
+                                            pa.int64())})
+
+        cnt = (edges_from_events(sf_dir).groupby(["src", "dst"]).count()
+               .map_batches(rename_cnt, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize())
+
+        def rename_outdeg(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"osrc": pa.array([], pa.string()),
+                                 "outdeg": pa.array([], pa.int64())})
+            return pa.table({"osrc": t.column("src"),
+                             "outdeg": pc.cast(t.column("sum(cnt)"),
+                                               pa.int64())})
+
+        outdeg = cnt.groupby("src").sum("cnt").map_batches(
+            rename_outdeg, batch_format="pyarrow", zero_copy_batch=True)
+
+        def weigh(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "weight": pa.array([], pa.float64())})
+            c = t.column("cnt").to_numpy().astype(np.float64)
+            o = t.column("outdeg").to_numpy().astype(np.float64)
+            return pa.table({"src": t.column("src"),
+                             "dst": t.column("dst"),
+                             "cnt": t.column("cnt"),
+                             "weight": pa.array(c / o)})
+
+        return hash_join(cnt, outdeg, on=("src",), right_on=("osrc",)
+                         ).map_batches(weigh, batch_format="pyarrow",
+                                       zero_copy_batch=True)
 
     def q_dangling_nodes(sf_dir):
         """A3 as a distributed ANTI-join (nodes EXCEPT distinct src):
@@ -197,10 +236,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"node": pa.array(col, pa.string())})
 
     def q_inlink_filter(sf_dir):
-        """J2: drop edges whose target in-degree >= 0.5 * n."""
+        """J2: drop edges whose target in-degree >= 0.5 * n.
+        n comes from a Dataset count (no name collection)."""
         _quiet()
+        from pagerank_ray.stages.encode import distinct_nodes_dataset
         edges = edges_from_events(sf_dir).materialize()
-        n = len(distinct_nodes(edges))
+        n = distinct_nodes_dataset(edges).count()
         return inlink_ratio_filter(edges, 0.5, n)
 
     def q_url_shape_filter(sf_dir):
@@ -424,9 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.pipelines.relational import (
         asof_join_events_orders, broadcast_join_orders_customer,
         distinct_users_per_type, modal_event_type_per_user,
-        props_key_stats, quantiles_per_type, range_join_events,
-        sessionize_events, sliding_event_agg, topk_docs_per_lang,
-        windowed_event_agg)
+        outlier_events, props_key_stats, quantiles_per_type,
+        range_join_events, sessionize_events, sliding_event_agg,
+        topk_docs_per_lang, windowed_event_agg)
 
     def q_windowed_event_agg(sf_dir):
         _quiet()
@@ -468,6 +509,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_modal_event_type_per_user(sf_dir):
         _quiet()
         return modal_event_type_per_user(sf_dir)
+
+    def q_outlier_events(sf_dir):
+        """Composition: exact per-type p90 threshold (distributed
+        quantiles) -> broadcast -> streaming filter."""
+        _quiet()
+        return outlier_events(sf_dir, q=0.9)
 
     def q_props_key_stats(sf_dir):
         """Semi-structured: RE2 JSON-field extraction from the props
@@ -620,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "props_key_stats": q_props_key_stats,
+        "outlier_events": q_outlier_events,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -802,9 +850,10 @@ def oracle_sql() -> dict[str, str]:
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
-        MODAL_TYPE_SQL, PROPS_KEY_STATS_SQL, QUANTILES_SQL,
-        RANGE_JOIN_SQL, SESSIONIZE_SQL, SLIDING_EVENT_AGG_SQL,
-        TOPK_PER_LANG_SQL, WINDOWED_EVENT_AGG_SQL)
+        MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PROPS_KEY_STATS_SQL,
+        QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
+        SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
+        WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
@@ -896,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
             gap_us=30 * 60_000_000),
         "modal_event_type_per_user": MODAL_TYPE_SQL,
         "props_key_stats": PROPS_KEY_STATS_SQL,
+        "outlier_events": OUTLIER_EVENTS_SQL.format(q=0.9),
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

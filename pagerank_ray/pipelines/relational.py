@@ -789,3 +789,51 @@ PROPS_KEY_STATS_SQL = r"""
     WHERE k IS NOT NULL
     GROUP BY event_type
 """
+
+
+def outlier_events(sf_dir: str, q: float = 0.9):
+    """Per-type percentile outlier filter: events whose value exceeds
+    their type's exact q-quantile. Returns (event_id, event_type,
+    value).
+
+    Two-stage composition: the distributed exact-quantile operator
+    produces one threshold row per type (O(types) — broadcast via
+    ray.put), then a streaming vectorized filter pass. The threshold
+    is an actual data value (quantile_disc semantics), so the >
+    comparison is float-exact across engines.
+    """
+    thr = quantiles_per_type(sf_dir, qs=(q,))
+    tref = ray.put((thr.column("event_type").to_pylist(),
+                    thr.column("value").to_numpy()))
+
+    class Flt:
+        def __init__(self, tref):
+            types, vals = ray.get(tref) if isinstance(
+                tref, ray.ObjectRef) else tref
+            self.types = pa.array(types, pa.string())
+            self.vals = np.asarray(vals, np.float64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pos = pc.index_in(t.column("event_type"),
+                              value_set=self.types).to_numpy(
+                                  zero_copy_only=False)
+            ok = pos == pos
+            cut = np.full(t.num_rows, np.inf)
+            cut[ok] = self.vals[pos[ok].astype(np.int64)]
+            keep = t.column("value").to_numpy() > cut
+            return t.select(["event_id", "event_type",
+                             "value"]).filter(pa.array(keep))
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.map_batches(Flt, fn_constructor_args=(tref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+OUTLIER_EVENTS_SQL = """
+    WITH thr AS (SELECT event_type, quantile_disc(value, {q}) AS p
+                 FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN thr ON thr.event_type = e.event_type
+    WHERE e.value > thr.p
+"""

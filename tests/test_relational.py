@@ -276,3 +276,24 @@ def test_props_key_stats_matches_duckdb():
     assert got[cols].astype({c: "int64" for c in cols[1:]}).equals(
         exp[cols].astype({c: "int64" for c in cols[1:]}))
     assert got["cnt"].sum() > 0
+
+
+def test_outlier_events_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (OUTLIER_EVENTS_SQL,
+                                                   outlier_events)
+
+    sf = "/root/testdata/sf0.001"
+    got = outlier_events(sf, q=0.9).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(OUTLIER_EVENTS_SQL.format(q=0.9)).df().sort_values(
+        "event_id").reset_index(drop=True)
+    cols = ["event_id", "event_type", "value"]
+    assert got[cols].equals(exp[cols])
+    # ~10% of events survive a p90 filter
+    n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert 0.02 * n < len(got) < 0.2 * n
