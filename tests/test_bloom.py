@@ -52,6 +52,31 @@ def test_build_and_prune_dataset():
     assert len(got - want) <= 0.05 * 1000    # few false positives
 
 
+def test_bloom_actually_prunes_shuffle_input():
+    """The pruned big side is ~the selectivity of the small side plus
+    the fp sliver — the filter measurably cuts what the shuffle would
+    carry (urgent orders are ~20% of all orders)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd2
+
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.filter(
+        pa.compute.equal(orders.column("o_orderpriority"),
+                         pa.scalar("1-URGENT")))
+    bloom = build_bloom(
+        rd2.from_arrow(urgent.select(["o_orderkey"])), "o_orderkey",
+        n_expected=urgent.num_rows, fp_rate=0.01)
+    li = rd2.read_parquet(f"{SF}/lineitem.parquet",
+                          columns=["l_orderkey"])
+    total = li.count()
+    pruned = bloom_prune(li, bloom, "l_orderkey",
+                         concurrency=(1, 2)).count()
+    sel = urgent.num_rows / orders.num_rows
+    assert pruned < (sel + 0.05) * total  # selectivity + fp slack
+    assert pruned > 0
+
+
 def test_bloom_pruned_join_equals_unpruned_and_sql():
     import duckdb
 
