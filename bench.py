@@ -284,6 +284,23 @@ def bench_text_quality() -> dict:
     return {"sec": time.time() - t0, "rows": lid + lang}
 
 
+def bench_wordcount() -> dict:
+    """Global term-frequency top-k + RE2 redaction over documents —
+    the textstats shapes (vocabulary-sized shuffle, streaming
+    replace)."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import (redact_documents,
+                                                  top_terms)
+
+    t0 = time.time()
+    tt = top_terms(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["text"]), k=50)
+    n1 = tt.count()
+    n2 = redact_documents(SF_DIR).count()
+    return {"sec": time.time() - t0, "rows": n1 + n2}
+
+
 def bench_knn() -> dict:
     import ray.data as rd
 
@@ -353,6 +370,7 @@ COMPONENTS = {
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,
+    "wordcount": bench_wordcount,
     "knn": bench_knn,
     "knn_approx": bench_knn_approx,
 }
