@@ -588,6 +588,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.functions.sketch import hll_distinct
     from pagerank_ray.pipelines.curation import curate_documents
 
+    def q_prepare_corpus(sf_dir):
+        """Flagship end-to-end training-data composition: near-dup
+        CLUSTER dedup (pairs -> CC -> canonical) ∩ lang ∩ token band
+        ∩ deterministic sample — the whole chain vs ONE SQL oracle."""
+        _quiet()
+        from pagerank_ray.pipelines.pretrain import prepare_corpus
+        return prepare_corpus(sf_dir, lang="en", min_tokens=20,
+                              max_tokens=2000, sample_pct=50)
+
     def q_curate_documents(sf_dir):
         """Flagship training-data composition: dedup ∩ lang ∩ quality
         gate ∩ deterministic sha256 sample."""
@@ -655,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
+        "prepare_corpus": q_prepare_corpus,
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
         "sliding_event_agg": q_sliding_event_agg,
@@ -842,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         hll_distinct_sql as _hll_sql
     from pagerank_ray.pipelines.dedup import \
         embedding_lsh_pairs_sql as _emb_lsh_sql
+    from pagerank_ray.pipelines.pretrain import \
+        prepare_corpus_sql as _prep_sql
     from pagerank_ray.pipelines.similarity import (LABEL_CENTROIDS_SQL,
                                                    knn_lsh_sql as
                                                    _knn_lsh_sql)
@@ -931,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_documents": CURATE_SQL.format(
             lang="en", min_tokens=20, max_tokens=2000, sample_pct=50),
+        "prepare_corpus": _prep_sql(
+            lang="en", min_tokens=20, max_tokens=2000, sample_pct=50,
+            grams_sql=_GRAMS),
         "windowed_event_agg": WINDOWED_EVENT_AGG_SQL.format(
             us=60 * 60_000_000),
         "sliding_event_agg": SLIDING_EVENT_AGG_SQL.format(
