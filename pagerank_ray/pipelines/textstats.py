@@ -69,17 +69,28 @@ def top_terms(docs, k: int = 20):
             "cnt": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    def rename(t: pa.Table) -> pa.Table:
+    def block_topk(t: pa.Table) -> pa.Table:
+        """Per-block partial top-k AFTER the groupby: the shuffle
+        hash-partitions terms, so each term's global count lives in
+        exactly one block — the global top-k is a subset of the union
+        of per-block top-ks, and the final sort ranks blocks x k rows
+        instead of the whole vocabulary."""
         if t.num_rows == 0:  # empty-schema shuffle block
             return pa.table({"term": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        return pa.table({"term": t.column("term"),
-                         "cnt": t.column("sum(cnt)")})
+        t = pa.table({"term": t.column("term"),
+                      "cnt": t.column("sum(cnt)")})
+        if t.num_rows <= k:
+            return t
+        cnt = t.column("cnt").to_numpy()
+        order = np.lexsort((np.asarray(t.column("term").to_pylist(),
+                                       dtype=object), -cnt))[:k]
+        return t.take(pa.array(np.sort(order)))
 
     return (docs.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
             .groupby("term").sum("cnt")
-            .map_batches(rename, batch_format="pyarrow",
+            .map_batches(block_topk, batch_format="pyarrow",
                          zero_copy_batch=True)
             .sort(["cnt", "term"], descending=[True, False])
             .limit(k))

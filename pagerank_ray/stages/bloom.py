@@ -90,8 +90,11 @@ class BloomFilter:
 def build_bloom(ds, column: str, n_expected: int,
                 fp_rate: float = 0.01) -> BloomFilter:
     """One Bloom filter over ``column`` of ``ds``: per-batch sketches
-    inside map_batches, OR-merged in a tiny second stage (only
-    m/8-byte sketch rows cross the wire, never the keys)."""
+    inside map_batches (only m/8-byte sketch rows cross the wire,
+    never the keys), OR-merged first in a DISTRIBUTED level (one
+    merged blob per ~64 input sketches after a coalescing
+    repartition) so the driver folds O(blocks/64) blobs, not one per
+    input batch."""
     proto = BloomFilter.from_sizing(n_expected, fp_rate)
     m, k = proto.m, proto.k
 
@@ -100,9 +103,21 @@ def build_bloom(ds, column: str, n_expected: int,
         f.add(t.column(column).to_numpy(zero_copy_only=False))
         return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
 
+    def merge_batch(t: pa.Table) -> pa.Table:
+        words = np.zeros(m // 64, dtype=np.uint64)
+        for b in t.column("bloom"):
+            np.bitwise_or(words, np.frombuffer(b.as_py(), np.uint64),
+                          out=words)
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           pa.binary())})
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    reduced = sketches.repartition(8).map_batches(
+        merge_batch, batch_size=64, batch_format="pyarrow",
+        zero_copy_batch=True)
     out = proto
-    for row in ds.map_batches(sketch_batch, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all():
+    for row in reduced.take_all():
         out.merge(BloomFilter.from_bytes(row["bloom"], k))
     return out
 
