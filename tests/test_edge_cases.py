@@ -184,3 +184,29 @@ def test_partitioned_encode_sparse_key_spread(tmp_path):
     na = load_nodes(g_a).sort_by("id").to_pylist()
     nb = load_nodes(g_b).sort_by("id").to_pylist()
     assert na == nb
+
+
+def test_top_terms_empty_and_whitespace_docs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import top_terms
+
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["", "   ", "\t\n"], pa.string())}))
+    out = top_terms(docs, k=5).to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_empty_small_side_prunes_everything():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.bloom import bloom_prune, build_bloom
+
+    empty = rd.from_arrow(pa.table({"key": pa.array([], pa.int64())}))
+    bloom = build_bloom(empty, "key", n_expected=0, fp_rate=0.01)
+    big = rd.from_arrow(pa.table({"key": pa.array(range(100),
+                                                  pa.int64())}))
+    pruned = bloom_prune(big, bloom, "key", concurrency=(1, 2))
+    assert pruned.count() == 0
