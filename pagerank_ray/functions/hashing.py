@@ -98,9 +98,11 @@ class MinHasher:
         texts = batch.column("text").to_pylist()
         sigs = np.stack([self.signature(t) for t in texts]) \
             if texts else np.zeros((0, self.num_perm), dtype=np.uint64)
+        flat = pa.array(sigs.reshape(-1).view(np.int64))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array(list(sigs.astype(np.int64))),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                flat, self.num_perm),
         })
 
 

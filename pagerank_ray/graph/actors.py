@@ -539,6 +539,56 @@ class GraphWorker:
         return [(np.arange(sh.n_local, dtype=np.int64) * self.P + sh.part,
                  sh.names, sh.labels.copy()) for sh in self.shards]
 
+    # -------- distributed result sink (ranks / labels) ---------------
+    #
+    # Each worker writes its OWN shards' result table directly to
+    # parquet — the driver never holds the n-row result (the O(n)
+    # collect_ranks/collect_labels stay as the small-graph/test path).
+    # Same atomic tmp+rename + manifest discipline as the checkpoint
+    # sink, keyed on SHARDS (not workers), so a rerun on a different
+    # cluster size still skips finished partitions.
+
+    _RESULT_ATTR = {"rank": "x_prev", "label": "labels"}
+
+    def result_hashes(self, kind: str) -> list[tuple[int, str]]:
+        """(part, sha256 of the shard's result values) per shard —
+        the driver combines these into the run fingerprint without
+        ever pulling the values."""
+        import hashlib
+        attr = self._RESULT_ATTR[kind]
+        return [(sh.part,
+                 hashlib.sha256(
+                     np.ascontiguousarray(getattr(sh, attr)).tobytes()
+                 ).hexdigest())
+                for sh in self.shards]
+
+    def write_result(self, out_dir: str, kind: str,
+                     skip_parts: list[int]) -> list[int]:
+        """Write (id, node, <kind>) parquet for each owned shard;
+        returns the parts written (skips those in ``skip_parts`` —
+        already present from a matching previous run)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        attr = self._RESULT_ATTR[kind]
+        skip = set(skip_parts)
+        written = []
+        for sh in self.shards:
+            if sh.part in skip:
+                continue
+            path = os.path.join(out_dir, f"part-{sh.part:05d}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            t = pa.table({
+                "id": pa.array(
+                    np.arange(sh.n_local, dtype=np.int64) * self.P
+                    + sh.part),
+                "node": pa.array(sh.names.astype(object), pa.string()),
+                kind: pa.array(getattr(sh, attr)),
+            })
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+            written.append(sh.part)
+        return written
+
 
 def shard_groups(P: int, num_workers: int) -> list[list[int]]:
     """Contiguous split of shard ids 0..P-1 into num_workers groups."""

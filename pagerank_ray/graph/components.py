@@ -32,8 +32,14 @@ from .actors import create_workers, kill_workers
 def connected_components(graph_dir: str, max_rounds: int = 10_000,
                          workers=None,
                          num_workers: int | None = None,
-                         exchange: str = "auto") -> pa.Table:
+                         exchange: str = "auto",
+                         out_dir: str | None = None) -> pa.Table | dict:
     """Returns (id, node, label) sorted by id; label = min id in component.
+
+    ``out_dir``: when set, each worker writes its shards' label table
+    directly to parquet there (graph/sink.py) and the MANIFEST dict is
+    returned instead — the driver never holds the n-row result. Read
+    back with sink.read_result_dataset(out_dir).
 
     ``exchange``: "concat" ships one n-length (or sparse-delta)
     partial per worker; "split" cuts each round's messages at
@@ -65,6 +71,9 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
                 changed = ray.get([w.cc_step2.remote(refs) for w in W])
             if sum(changed) == 0:
                 break
+        if out_dir is not None:
+            from .sink import write_result_distributed
+            return write_result_distributed(W, out_dir, "label")
         return collect_labels(W)
     finally:
         if own:

@@ -232,6 +232,14 @@ class PageRankRunner:
         gb._atomic_write_json(os.path.join(ckpt_dir, "manifest.json"),
                               manifest)
 
+    def write_ranks_distributed(self, out_dir: str) -> dict:
+        """Worker-side ranks sink: each worker writes its shards'
+        (id, node, rank) parquet directly — the driver never holds
+        the n-row result (see graph/sink.py). The scale path next to
+        ``collect_ranks`` (small graphs / the query contract)."""
+        from .sink import write_result_distributed
+        return write_result_distributed(self.workers, out_dir, "rank")
+
     def collect_ranks(self) -> pa.Table:
         groups = ray.get([w.pr_ranks.remote() for w in self.workers])
         parts = [p for g in groups for p in g]

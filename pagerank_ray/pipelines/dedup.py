@@ -37,6 +37,8 @@ import ray.data as rd
 
 from ..functions.hashing import (MinHasher, band_keys, hamming64,
                                  shingle_hashes, simhash64, word_shingles)
+from ..functions.vectors import (binary_flat, binary_matrix, list_matrix,
+                                 pack_rows)
 from ..stages.join import hash_join
 
 
@@ -193,18 +195,29 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                           batch_format="pyarrow", concurrency=(1, 4))
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        band_out, key_out, id_out = [], [], []
-        for doc_id, sig in zip(t.column("doc_id").to_pylist(),
-                               t.column("minhash").to_pylist()):
-            keys = band_keys(np.asarray(sig, dtype=np.int64).view(np.uint64),
-                             num_bands)
-            for bi, kv in enumerate(keys):
-                band_out.append(bi)
-                key_out.append(np.int64(kv.astype(np.int64)))
-                id_out.append(doc_id)
-        return pa.table({"band": pa.array(band_out, pa.int32()),
-                         "key": pa.array(key_out, pa.int64()),
-                         "doc_id": pa.array(id_out, pa.int64())})
+        if t.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        # one flatten+reshape for the signature matrix, np.tile/repeat
+        # for the fan-out columns; the per-(doc,band) blake2b digest is
+        # the only remaining per-item work (it defines the bucket keys
+        # the SQL oracle replays, so it must stay byte-identical)
+        sig = list_matrix(t.column("minhash"), np.int64).view(np.uint64)
+        nr, num_perm = sig.shape
+        rows_per_band = num_perm // num_bands
+        chunks = np.ascontiguousarray(
+            sig.reshape(nr * num_bands, rows_per_band))
+        keys = np.fromiter(
+            (band_keys(c, 1)[0] for c in chunks),
+            dtype=np.uint64, count=len(chunks)).view(np.int64)
+        return pa.table({
+            "band": pa.array(np.tile(
+                np.arange(num_bands, dtype=np.int32), nr)),
+            "key": pa.array(keys),
+            "doc_id": pa.array(np.repeat(
+                t.column("doc_id").to_numpy(), num_bands)),
+        })
 
     buckets = sigs.map_batches(explode_bands,
                                batch_format="pyarrow").materialize()
@@ -265,22 +278,38 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                                 zero_copy_batch=True)
 
     def verify(t: pa.Table) -> pa.Table:
-        sh_a = t.column("sh_a")
-        sh_b = t.column("sh_b")
-        keep_a, keep_b, jac = [], [], []
-        for i in range(t.num_rows):
-            x = np.frombuffer(sh_a[i].as_py(), dtype=np.uint32)
-            y = np.frombuffer(sh_b[i].as_py(), dtype=np.uint32)
-            inter = len(np.intersect1d(x, y, assume_unique=True))
-            union = len(x) + len(y) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                keep_a.append(t.column("a")[i].as_py())
-                keep_b.append(t.column("b")[i].as_py())
-                jac.append(j)
-        return pa.table({"a": pa.array(keep_a, pa.int64()),
-                         "b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(jac, pa.float64())})
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "sh_a" not in t.column_names:
+            return empty
+        # Fully vectorized set intersections: the shingle hashes are
+        # 32-bit and DISTINCT within a row, so tagging each value with
+        # its row id in the high 32 bits makes every intersection
+        # element exactly one duplicate in ONE sorted combined array —
+        # intersections for the whole batch come from a single sort +
+        # bincount, no per-row Arrow->Python conversion.
+        va, la = binary_flat(t.column("sh_a"), np.uint32)
+        vb, lb = binary_flat(t.column("sh_b"), np.uint32)
+        nr = t.num_rows
+        rows = np.arange(nr, dtype=np.uint64)
+        key_a = (np.repeat(rows, la) << np.uint64(32)) | va
+        key_b = (np.repeat(rows, lb) << np.uint64(32)) | vb
+        comb = np.concatenate([key_a, key_b])
+        comb.sort(kind="stable")
+        dup = comb[1:] == comb[:-1]
+        inter = np.bincount((comb[:-1][dup] >> np.uint64(32))
+                            .astype(np.int64), minlength=nr)
+        union = la + lb - inter
+        jac = np.where(union > 0,
+                       inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(t.column("a").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "b": pa.array(t.column("b").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "jaccard": pa.array(jac[keep], pa.float64())})
 
     out = joined.map_batches(verify, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -332,20 +361,53 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
     gdir = tempfile.mkdtemp(prefix="dedup_cc_")
     build_graph(loops.union(pair_edges), gdir, num_parts=num_parts,
                 undirected=True)
-    cc = connected_components(gdir)  # (id, node, label), label=min id
+    # workers write their label shards straight to parquet — the
+    # driver never holds the n-docs label table (graph/sink.py)
+    labels_dir = tempfile.mkdtemp(prefix="dedup_cc_labels_")
+    connected_components(gdir, out_dir=labels_dir)
 
-    # canonical = numeric min doc per component (vectorized; labels
-    # are dense internal ids, so one minimum.at scatter suffices)
-    node_int = pc.cast(cc.column("node"), pa.int64()).to_numpy()
-    lab = cc.column("label").to_numpy()
-    mins = np.full(len(node_int), np.iinfo(np.int64).max, np.int64)
-    np.minimum.at(mins, lab, node_int)
-    canonical = mins[lab]
-    order = np.argsort(node_int, kind="stable")
-    return pa.table({
-        "doc_id": pa.array(node_int[order]),
-        "canonical_id": pa.array(canonical[order]),
-    })
+    # canonical = numeric min doc per component, composed from
+    # Dataset ops end-to-end: groupby(label).min(doc_id) + a hash
+    # join back onto (doc_id, label). No O(n_docs) driver arrays
+    # (the round-3 version scattered into a dense np.minimum.at).
+    from ..graph.sink import read_result_dataset
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pc.cast(t.column("node"), pa.int64()),
+            "label": t.column("label"),
+        })
+
+    doc_labels = read_result_dataset(labels_dir).map_batches(
+        project, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    canon = (doc_labels.groupby("label").min("doc_id")
+             .map_batches(
+                 lambda t: pa.table({
+                     "label2": t.column("label"),
+                     "canonical_id": t.column("min(doc_id)")}),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .repartition(8))   # coalesce tiny groupby output blocks
+
+    joined = hash_join(doc_labels, canon, on=("label",),
+                       right_on=("label2",),
+                       num_partitions=join_partitions)
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "canonical_id": t.column("canonical_id")})
+
+    out = joined.map_batches(pick, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return res.sort_by([("doc_id", "ascending")])
 
 
 # -------------------------------------------------------------- SimHash
@@ -368,20 +430,26 @@ def simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:
     sh = ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
 
     def explode(t: pa.Table) -> pa.Table:
-        band_out, key_out, id_out, sh_out = [], [], [], []
-        for doc_id, v in zip(t.column("doc_id").to_pylist(),
-                             t.column("simhash").to_pylist()):
-            u = int(np.int64(v).view(np.uint64))
-            for bi in range(4):
-                key = (u >> (16 * bi)) & 0xFFFF
-                band_out.append(bi)
-                key_out.append(key)
-                id_out.append(doc_id)
-                sh_out.append(v)
-        return pa.table({"band": pa.array(band_out, pa.int32()),
-                         "key": pa.array(key_out, pa.int32()),
-                         "doc_id": pa.array(id_out, pa.int64()),
-                         "simhash": pa.array(sh_out, pa.int64())})
+        if t.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int32()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        # fully vectorized 16-bit band slicing (np.repeat/np.tile
+        # fan-out, no per-row Python)
+        v = t.column("simhash").to_numpy()
+        u = v.view(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((u[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int32)
+        nr = len(v)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), nr)),
+            "key": pa.array(keys.ravel()),
+            "doc_id": pa.array(np.repeat(
+                t.column("doc_id").to_numpy(), 4)),
+            "simhash": pa.array(np.repeat(v, 4)),
+        })
 
     buckets = sh.map_batches(explode,
                              batch_format="pyarrow").materialize()
@@ -455,12 +523,10 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
     # side of the verify joins instead of L*(nbits+1) times through
     # the bucket self-join (the round-2 scale-killer).
     def pack_vecs(t: pa.Table) -> pa.Table:
-        m = _normalize(np.stack([
-            np.asarray(v, dtype=np.float64)
-            for v in t.column("embedding").to_pylist()]))
+        m = _normalize(list_matrix(t.column("embedding")))
         return pa.table({
             "vec_id": t.column("vec_id"),
-            "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+            "vec": pack_rows(m),
         })
 
     vecs = ds.map_batches(pack_vecs, batch_format="pyarrow",
@@ -469,9 +535,7 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
     def bucketize(t: pa.Table) -> pa.Table:
         h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
         vid = t.column("vec_id").to_numpy()
-        m = _normalize(np.stack([
-            np.asarray(v, dtype=np.float64)
-            for v in t.column("embedding").to_pylist()]))
+        m = _normalize(list_matrix(t.column("embedding")))
         allbits = h.sign_bits(m).astype(np.int64)  # L*nbits packed
         fan = nbits + 1
         parts = []
@@ -541,10 +605,8 @@ def embedding_cosine_pairs_lsh(embs, threshold: float = 0.95,
         if t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        va = np.frombuffer(b"".join(t.column("vec_a").to_pylist()),
-                           np.float64).reshape(t.num_rows, -1)
-        vb = np.frombuffer(b"".join(t.column("vec_b").to_pylist()),
-                           np.float64).reshape(t.num_rows, -1)
+        va = binary_matrix(t.column("vec_a"))
+        vb = binary_matrix(t.column("vec_b"))
         sims = np.einsum("ij,ij->i", va, vb)
         keep = sims >= threshold
         return pa.table({"a": t.column("a").filter(pa.array(keep)),
@@ -623,8 +685,7 @@ def embedding_cosine_pairs(embs, threshold: float = 0.95) -> pa.Table:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t.column("vec_id").to_numpy()
-            bm = np.stack([np.asarray(v, dtype=np.float64)
-                           for v in t.column("embedding").to_pylist()])
+            bm = list_matrix(t.column("embedding"))
             bm = bm / np.maximum(np.linalg.norm(bm, axis=1),
                                  1e-300)[:, None]
             sims = bm @ self.mat.T

@@ -741,6 +741,15 @@ def props_key_stats(sf_dir: str):
                                r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            # Explicitly typed empty partial: an all-invalid batch would
+            # otherwise emit object->null-typed columns via from_pandas,
+            # a schema-divergent block into the groupby.
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "k_sum": pa.array([], pa.int64()),
+                             "k_min": pa.array([], pa.int64()),
+                             "k_max": pa.array([], pa.int64())})
         df = pd.DataFrame({
             "event_type": np.asarray(
                 t.column("event_type").to_pylist(), dtype=object)[valid],
@@ -780,7 +789,8 @@ def props_key_stats(sf_dir: str):
 
 
 PROPS_KEY_STATS_SQL = r"""
-    SELECT event_type, COUNT(*) AS cnt, SUM(k) AS k_sum,
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
            MIN(k) AS k_min, MAX(k) AS k_max
     FROM (SELECT event_type,
                  CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1),

@@ -27,6 +27,9 @@ import ray
 import ray.data as rd
 
 
+from ..functions.vectors import binary_matrix, list_matrix, pack_rows
+
+
 def _to_ds(x):
     return rd.from_arrow(x) if isinstance(x, pa.Table) else x
 
@@ -76,9 +79,7 @@ def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t.column("vec_id").to_numpy()
-            bm = _normalize(np.stack([
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()]))
+            bm = _normalize(list_matrix(t.column("embedding")))
             sims = self.qmat @ bm.T                     # (Q, B)
             # mask self-matches
             for qi, qv in enumerate(self.qids):
@@ -240,13 +241,10 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
                 href, ray.ObjectRef) else href
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(np.stack([
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()]))
+            m = _normalize(list_matrix(t.column("embedding")))
             return pa.table({
                 "vec_id": t.column("vec_id"),
-                "vec": pa.array([row.tobytes() for row in m],
-                                pa.binary()),
+                "vec": pack_rows(m),
                 "bucket": pa.array(self.h.sign_bits(m)),
             })
 
@@ -292,10 +290,8 @@ def _probe_join_topk(bucketed, probes, k: int,
             return empty
         vid = t.column("vec_id").to_numpy()
         qid = t.column("query_id").to_numpy()
-        v = np.frombuffer(b"".join(t.column("vec").to_pylist()),
-                          np.float64).reshape(len(vid), -1)
-        qv = np.frombuffer(b"".join(t.column("qvec").to_pylist()),
-                           np.float64).reshape(len(vid), -1)
+        v = binary_matrix(t.column("vec"))
+        qv = binary_matrix(t.column("qvec"))
         sims = np.einsum("ij,ij->i", v, qv)
         keep = vid != qid              # drop self-matches
         vid, qid, sims = vid[keep], qid[keep], sims[keep]
@@ -389,14 +385,11 @@ def knn_ivf(embs, query_ids: list[int], k: int = 10,
                 cref, ray.ObjectRef) else cref
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(np.stack([
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()]))
+            m = _normalize(list_matrix(t.column("embedding")))
             bucket = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
             return pa.table({
                 "vec_id": t.column("vec_id"),
-                "vec": pa.array([row.tobytes() for row in m],
-                                pa.binary()),
+                "vec": pack_rows(m),
                 "bucket": pa.array(bucket),
             })
 
@@ -440,8 +433,7 @@ def label_centroids(sf_dir: str, round_to: int = 6):
 
     def partial(t: pa.Table) -> pa.Table:
         lab = t.column("label").to_numpy().astype(np.int64)
-        m = np.stack([np.asarray(v, np.float64)
-                      for v in t.column("embedding").to_pylist()])
+        m = list_matrix(t.column("embedding"))
         labs, inv = np.unique(lab, return_inverse=True)
         sums = np.zeros((len(labs), m.shape[1]), np.float64)
         np.add.at(sums, inv, m)

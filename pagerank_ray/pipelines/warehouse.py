@@ -50,6 +50,18 @@ def pricing_summary(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
         keep = ship <= cutoff
+        if not keep.any():
+            # Explicitly typed empty partial: object-dtype string
+            # columns in an empty pandas frame would convert to Arrow
+            # null type and diverge from non-empty blocks' schema.
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.float64()),
+                "sum_base_price": pa.array([], pa.float64()),
+                "sum_disc_price": pa.array([], pa.float64()),
+                "sum_charge": pa.array([], pa.float64()),
+                "count_order": pa.array([], pa.int64())})
         df = pd.DataFrame({
             "l_returnflag": np.asarray(
                 t.column("l_returnflag").to_pylist(), dtype=object)[keep],
