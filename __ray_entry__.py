@@ -123,19 +123,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return edges_from_events(sf_dir)
 
     def q_node_outdegree(sf_dir):
+        """Out-degree via the COMBINER path (partial value_counts per
+        batch, then a small groupby-sum — the shuffle carries one row
+        per key per batch, never the edge rows)."""
         _quiet()
-        ds = edges_from_events(sf_dir).groupby("src").count()
+        from pagerank_ray.stages.aggregate import grouped_count
+        ds = grouped_count(edges_from_events(sf_dir), "src",
+                           alias="outdeg")
         return ds.map_batches(
             lambda t: pa.table({"node": t.column("src"),
-                                "outdeg": t.column("count()")}),
+                                "outdeg": t.column("outdeg")}),
             batch_format="pyarrow")
 
     def q_node_indegree(sf_dir):
+        """In-degree via the SALTED two-phase count (A1 + SURVEY
+        §4.2(2) skew handling): in-degree over a power-law link graph
+        is the canonical hot-key groupby, so this production surface
+        runs the salted path — the driver's SQL hash-check doubles as
+        the salted ≡ unsalted equality gate."""
         _quiet()
-        ds = edges_from_events(sf_dir).groupby("dst").count()
+        from pagerank_ray.stages.aggregate import salted_grouped_count
+        ds = salted_grouped_count(edges_from_events(sf_dir), "dst",
+                                  salt=16, alias="indeg")
         return ds.map_batches(
             lambda t: pa.table({"node": t.column("dst"),
-                                "indeg": t.column("count()")}),
+                                "indeg": t.column("indeg")}),
             batch_format="pyarrow")
 
     def q_distinct_nodes(sf_dir):

@@ -331,6 +331,55 @@ def bench_knn_approx() -> dict:
             "rows": a.num_rows + b.num_rows}
 
 
+def _ensure_skewed_edges(m: int = 20_000_000) -> str:
+    """Edge table with a DELIBERATE hot key: ~30% of all edges point
+    at one hub (the synth corpus's "menu" pattern at adversarial
+    heat), the rest zipf-tailed. Sharded parquet, built once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"{CACHE}/skew_edges_m{m}"
+    if not os.path.exists(os.path.join(d, "part-00009.parquet")):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.RandomState(42)
+        dst = (rng.zipf(1.3, m) - 1) % 100_000
+        dst[rng.rand(m) < 0.3] = 0          # hub: ~30% of all rows
+        shard = m // 10
+        for i in range(10):
+            sl = slice(i * shard, (i + 1) * shard)
+            pq.write_table(pa.table({
+                "dst": pa.array(
+                    np.char.add("n", dst[sl].astype("U7"))),
+            }), os.path.join(d, f"part-{i:05d}.parquet"))
+    return d
+
+
+def bench_skew_count() -> dict:
+    """Hot-key groupby: NAIVE groupby(dst).count() (every hub row
+    lands on one reducer) vs the SALTED two-phase path that
+    node_indegree / heavy_targets run in production. Reports both so
+    the record shows the hot-key reducer no longer dominates."""
+    import ray.data as rd
+
+    from pagerank_ray.stages.aggregate import salted_grouped_count
+
+    d = _ensure_skewed_edges()
+
+    t0 = time.time()
+    naive = rd.read_parquet(d).groupby("dst").count()
+    n_naive = naive.count()
+    naive_sec = time.time() - t0
+
+    t1 = time.time()
+    salted = salted_grouped_count(rd.read_parquet(d), "dst", salt=16)
+    n_salted = salted.count()
+    salted_sec = time.time() - t1
+    assert n_naive == n_salted
+    return {"sec": salted_sec, "naive_sec": round(naive_sec, 3),
+            "salted_sec": round(salted_sec, 3), "rows": n_salted}
+
+
 def bench_membw() -> dict:
     """Aggregate stream-triad memory bandwidth: one 1-CPU Ray task per
     core, each a = 2*b + c over 64 MB float64 arrays (24 B moved per
@@ -371,6 +420,7 @@ COMPONENTS = {
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,
     "wordcount": bench_wordcount,
+    "skew_count": bench_skew_count,
     "knn": bench_knn,
     "knn_approx": bench_knn_approx,
 }
@@ -405,7 +455,7 @@ def run_bench() -> dict:
         for k in ("split_edges_per_sec_per_iter",
                   "split_worker_peak_rss_mb",
                   "split_worker_private_heap_mb",
-                  "lsh_sec", "ivf_sec"):
+                  "lsh_sec", "ivf_sec", "naive_sec", "salted_sec"):
             if k in res:
                 extra[k] = res[k]
     ray.shutdown()

@@ -68,12 +68,17 @@ def salted_grouped_count(ds, key: str, salt: int = 16,
         keys = vc.field("values")
         cnts = pc.cast(vc.field("counts"), pa.int64())
         if pa.types.is_integer(keys.type):
-            h = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            h = np.array([hash_str(s) for s in keys.to_pylist()],
-                         dtype=np.int64)
+            # vectorized stable string hash (pandas siphash with its
+            # fixed default key — process-independent, C-speed; the
+            # salt assignment only shapes the shuffle, never values)
+            import pandas as pd
+            h = pd.util.hash_array(
+                keys.to_numpy(zero_copy_only=False), categorize=False)
         return pa.table({key: keys, "cnt": cnts,
-                         "salt_": pa.array((h % salt).astype(np.int32))})
+                         "salt_": pa.array(
+                             (h % np.uint64(salt)).astype(np.int32))})
 
     phase1 = (ds.map_batches(add_salt, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -85,13 +90,6 @@ def salted_grouped_count(ds, key: str, salt: int = 16,
                          alias: t.column("sum(sum(cnt))")})
 
     return phase2.map_batches(rename, batch_format="pyarrow")
-
-
-def hash_str(s: str) -> int:
-    """Stable 63-bit string hash (process-independent, unlike hash())."""
-    import zlib
-
-    return zlib.crc32(s.encode("utf-8"))
 
 
 def degree_histogram(ds, key: str, num_buckets: int = 32) -> pa.Table:

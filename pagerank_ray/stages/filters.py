@@ -44,31 +44,32 @@ def url_filter(edges_ds):
     )
 
 
-def heavy_targets(edges_ds, filter_ratio: float, num_nodes: int) -> set:
+def heavy_targets(edges_ds, filter_ratio: float, num_nodes: int,
+                  salt: int = 16) -> set:
     """Targets whose in-degree >= filter_ratio * num_nodes (a SHORT list).
 
-    In-degrees are counted over the full post-M1 edge stream (A1):
-    partial counts inside map_batches, then a small groupby — the heavy
-    list itself is tiny and is collected to the driver for broadcast.
-    """
+    In-degrees are counted over the full post-M1 edge stream (A1) with
+    the SALTED two-phase aggregation (stages/aggregate.py): heavy
+    targets are by definition the hot keys of this groupby — a
+    power-law hub at 10^12-edge scale would land every one of its
+    per-batch partial rows on a single reducer; salting spreads each
+    key over ``salt`` sub-keys first, then combines the tiny per-salt
+    partials. The heavy list itself is tiny and is collected to the
+    driver for broadcast."""
+    from .aggregate import salted_grouped_count
+
     threshold = filter_ratio * num_nodes
+    counts = salted_grouped_count(edges_ds, "dst", salt=salt,
+                                  alias="cnt")
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        vc = batch.column("dst").value_counts()
-        return pa.table({
-            "dst": vc.field("values"),
-            "cnt": vc.field("counts"),
-        })
+    def pick_heavy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dst": pa.array([], pa.string())})
+        keep = pc.greater_equal(t.column("cnt"), threshold)
+        return pa.table({"dst": t.column("dst").filter(keep)})
 
-    counts = (
-        edges_ds.map_batches(partial_counts, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .groupby("dst")
-        .sum("cnt")
-    )
-    heavy = counts.filter(
-        lambda row: row["sum(cnt)"] >= threshold
-    ).take_all()
+    heavy = counts.map_batches(pick_heavy, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
     return {r["dst"] for r in heavy}
 
 

@@ -52,3 +52,25 @@ def test_degree_histogram():
     assert total_keys == len(set(keys))
     # the hot key lands in a high bucket
     assert max(h.column("log2_bucket").to_pylist()) >= 10
+
+
+def test_heavy_targets_salted_matches_naive():
+    """heavy_targets (the salted production path) == a naive driver
+    count over the same skewed edge stream."""
+    from pagerank_ray.stages.filters import heavy_targets
+
+    rng = np.random.RandomState(7)
+    dst = [("hub" if rng.rand() < 0.4 else f"n{rng.randint(50)}")
+           for _ in range(4000)]
+    edges = pa.table({
+        "src": pa.array([f"s{i % 97}" for i in range(len(dst))],
+                        pa.string()),
+        "dst": pa.array(dst, pa.string()),
+    })
+    num_nodes = len(set(dst))
+    ratio = 0.5
+    want = {k for k in set(dst)
+            if dst.count(k) >= ratio * num_nodes}
+    got = heavy_targets(rd.from_arrow(edges), ratio, num_nodes, salt=8)
+    assert got == want
+    assert "hub" in got        # the hot key is detected

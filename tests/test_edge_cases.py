@@ -210,3 +210,46 @@ def test_bloom_empty_small_side_prunes_everything():
                                                   pa.int64())}))
     pruned = bloom_prune(big, bloom, "key", concurrency=(1, 2))
     assert pruned.count() == 0
+
+
+def test_hash_join_empty_first_block_regression():
+    """Pin the _sanitize null-sentinel assumption (stages/join.py):
+    Ray's hash shuffle broadcasts typed empty shards only from the
+    FIRST shuffle task of each side, and a zero-row first block
+    consumes that broadcast silently. This test forces a zero-row
+    first block on one side; if a Ray upgrade changes the scheduler
+    behavior the sentinel relies on, this fails loudly instead of
+    reopening the race in production joins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.join import hash_join
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.string())})
+    full = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "v": pa.array(["a", "b", "c"], pa.string())})
+    # from_arrow with a list keeps one block per table, in order —
+    # the empty block is the side's first shuffle task
+    left = rd.from_arrow([empty, full])
+    assert left.num_blocks() == 2
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array([2, 3, 4], pa.int64()),
+        "w": pa.array(["x", "y", "z"], pa.string()),
+    }))
+    out = hash_join(left, right, on=("k",), right_on=("k2",),
+                    num_partitions=8, left_schema=schema)
+    rows = sorted((r["k"], r["v"], r["w"]) for r in out.take_all())
+    assert rows == [(2, "b", "x"), (3, "c", "y")]
+
+    # and the symmetric case: zero-row first block on the RIGHT side
+    right2 = rd.from_arrow([
+        pa.table({"k2": pa.array([], pa.int64()),
+                  "w": pa.array([], pa.string())}),
+        pa.table({"k2": pa.array([2, 3, 4], pa.int64()),
+                  "w": pa.array(["x", "y", "z"], pa.string())})])
+    out2 = hash_join(rd.from_arrow(full), right2, on=("k",),
+                     right_on=("k2",), num_partitions=8)
+    rows2 = sorted((r["k"], r["v"], r["w"]) for r in out2.take_all())
+    assert rows2 == rows
