@@ -84,6 +84,20 @@ def build_graph(
     # parquet here (same cost, durable), which this layout supports.
     edges_ds = edges_ds.materialize()
 
+    # Coalesce tiny-block floods (a sorted/stitched upstream like
+    # edges_from_events yields hundreds of KB-sized blocks): the
+    # partitioned write below splits EVERY block by part — O(blocks
+    # x parts) files — and each downstream shard load then pays
+    # per-file costs. Repartition only when blocks are far smaller
+    # than the ~2M-row write granularity; at real scale blocks arrive
+    # big and this is a no-op.
+    nrows = edges_ds.count()
+    nblocks = edges_ds.num_blocks()
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    tgt = max(avail, -(-nrows // 2_000_000))
+    if nblocks > 4 * tgt:
+        edges_ds = edges_ds.repartition(tgt).materialize()
+
     nodes_distinct = enc.distinct_nodes_dataset(edges_ds).materialize()
     n = nodes_distinct.count()
     use_broadcast = encode_mode == "broadcast" or (
