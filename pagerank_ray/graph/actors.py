@@ -539,6 +539,30 @@ class GraphWorker:
         return [(np.arange(sh.n_local, dtype=np.int64) * self.P + sh.part,
                  sh.names, sh.labels.copy()) for sh in self.shards]
 
+    # -------- label checkpoint/resume (CC + LPA) ----------------------
+    #
+    # Same per-SHARD discipline as pr_save/pr_load: atomic tmp+rename,
+    # one file per shard, so a run resumes on a DIFFERENT cluster
+    # size. State = (labels, active frontier); LPA ignores active.
+
+    def labels_save(self, ckpt_dir: str, rnd: int) -> int:
+        d = os.path.join(ckpt_dir, f"round={rnd}")
+        os.makedirs(d, exist_ok=True)
+        for sh in self.shards:
+            active = sh.active if sh.active is not None \
+                else np.ones(sh.n_local, dtype=bool)
+            tmp = os.path.join(d, f"part-{sh.part}.tmp.npz")
+            np.savez(tmp, labels=sh.labels, active=active)
+            os.replace(tmp, os.path.join(d, f"part-{sh.part}.npz"))
+        return len(self.shards)
+
+    def labels_load(self, ckpt_dir: str, rnd: int) -> None:
+        for sh in self.shards:
+            z = np.load(os.path.join(ckpt_dir, f"round={rnd}",
+                                     f"part-{sh.part}.npz"))
+            sh.labels = z["labels"]
+            sh.active = z["active"]
+
     # -------- distributed result sink (ranks / labels) ---------------
     #
     # Each worker writes its OWN shards' result table directly to

@@ -20,6 +20,9 @@ and commutative.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -33,7 +36,12 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
                          workers=None,
                          num_workers: int | None = None,
                          exchange: str = "auto",
-                         out_dir: str | None = None) -> pa.Table | dict:
+                         out_dir: str | None = None,
+                         checkpoint_dir: str | None = None,
+                         checkpoint_every: int = 0,
+                         resume: bool = False,
+                         stop_after: int | None = None
+                         ) -> pa.Table | dict | None:
     """Returns (id, node, label) sorted by id; label = min id in component.
 
     ``out_dir``: when set, each worker writes its shards' label table
@@ -47,6 +55,16 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     bytes stay O(n/A) — same memory rule as PageRank's exchange.
     "auto" picks split when n > 32M. Min-combine is commutative, so
     results are identical across modes.
+
+    Checkpoint/resume (the same per-SHARD discipline as PageRank's):
+    every ``checkpoint_every`` rounds each worker writes its shards'
+    (labels, frontier) state (atomic rename) and the driver commits a
+    manifest — resumable mid-convergence, even on a DIFFERENT cluster
+    size. ``stop_after`` stops (and checkpoints) after that many
+    rounds WITHOUT convergence — fault injection for the resume
+    tests; returns None in that case. Min-label propagation is
+    idempotent/commutative, so the resumed run converges to exactly
+    the same labels.
     """
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
@@ -57,9 +75,29 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     A = len(W)
     if exchange == "auto":
         exchange = "split" if meta["n"] > 32_000_000 else "concat"
+
+    def checkpoint(rnd: int, converged: bool) -> None:
+        ray.get([w.labels_save.remote(checkpoint_dir, rnd) for w in W])
+        gb._atomic_write_json(
+            os.path.join(checkpoint_dir, "manifest.json"),
+            {"algorithm": "cc", "round": rnd, "converged": converged,
+             "num_parts": meta["num_parts"]})
+
     try:
         ray.get([w.cc_init.remote() for w in W])
+        rnd = 0
+        if resume:
+            man = load_labels_manifest(checkpoint_dir)
+            rnd = man["round"]
+            ray.get([w.labels_load.remote(checkpoint_dir, rnd)
+                     for w in W])
+        done_this_call = 0
+        converged = False
         for _ in range(max_rounds):
+            if stop_after is not None and done_this_call >= stop_after:
+                if checkpoint_dir:
+                    checkpoint(rnd, converged=False)
+                return None
             if exchange == "split":
                 step1 = ray.get([w.cc_step1_split.remote() for w in W])
                 changed = ray.get([
@@ -69,8 +107,16 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
             else:
                 refs = [w.cc_step1.remote() for w in W]
                 changed = ray.get([w.cc_step2.remote(refs) for w in W])
+            rnd += 1
+            done_this_call += 1
             if sum(changed) == 0:
+                converged = True
                 break
+            if checkpoint_dir and checkpoint_every and \
+                    rnd % checkpoint_every == 0:
+                checkpoint(rnd, converged=False)
+        if checkpoint_dir and converged:
+            checkpoint(rnd, converged=True)
         if out_dir is not None:
             from .sink import write_result_distributed
             return write_result_distributed(W, out_dir, "label")
@@ -78,6 +124,11 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     finally:
         if own:
             kill_workers(W)
+
+
+def load_labels_manifest(ckpt_dir: str) -> dict:
+    with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+        return json.load(f)
 
 
 def collect_labels(workers) -> pa.Table:

@@ -271,3 +271,61 @@ def test_write_ranks_resumable(tmp_path):
     total2 = sum(pq.read_table(os.path.join(out, f)).num_rows
                  for f in files2)
     assert total2 == ranks.num_rows
+
+
+def test_cc_checkpoint_resume_exact(tmp_path):
+    """CC stopped mid-convergence resumes from the per-shard
+    checkpoint to EXACTLY the straight-run labels (min-label
+    propagation is idempotent, so the continuation is exact)."""
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    want = connected_components(gdir)
+
+    ckpt = str(tmp_path / "ckpt")
+    stopped = connected_components(gdir, checkpoint_dir=ckpt,
+                                   stop_after=2)
+    assert stopped is None                     # did not converge yet
+    from pagerank_ray.graph.components import load_labels_manifest
+    man = load_labels_manifest(ckpt)
+    assert man["round"] == 2 and not man["converged"]
+
+    got = connected_components(gdir, checkpoint_dir=ckpt, resume=True)
+    assert got.to_pylist() == want.to_pylist()
+    assert load_labels_manifest(ckpt)["converged"]
+
+
+def test_cc_resume_on_different_worker_count(tmp_path):
+    """Checkpoints key on SHARDS: a run stopped at worker count A
+    resumes on a different count and still lands on exact labels."""
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    want = connected_components(gdir)
+    ckpt = str(tmp_path / "ckpt")
+    assert connected_components(gdir, num_workers=4,
+                                checkpoint_dir=ckpt,
+                                stop_after=2) is None
+    got = connected_components(gdir, num_workers=2,
+                               checkpoint_dir=ckpt, resume=True)
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_lpa_checkpoint_resume_exact(tmp_path):
+    """LPA is a FIXED-round algorithm: a resumed run executes exactly
+    the remaining rounds and matches the straight 10-round labels."""
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=3,
+                undirected=True)
+    want = label_propagation(gdir, rounds=10)
+    ckpt = str(tmp_path / "ckpt")
+    assert label_propagation(gdir, rounds=10, checkpoint_dir=ckpt,
+                             stop_after=4) is None
+    from pagerank_ray.graph.components import load_labels_manifest
+    assert load_labels_manifest(ckpt)["round"] == 4
+    got = label_propagation(gdir, rounds=10, checkpoint_dir=ckpt,
+                            resume=True)
+    assert got.to_pylist() == want.to_pylist()
