@@ -69,34 +69,35 @@ def knn_bruteforce(embs, query_ids: list[int], k: int = 10,
                          f"{sorted(missing)}")
     qmat = _normalize(np.stack([q_rows[i] for i in qset]))
     qids = np.array(qset, dtype=np.int64)
+    # broadcast once via ray.put; STATELESS TASKS read it (zero-copy
+    # plasma get per batch, ~µs once local) — an actor pool here pays
+    # 1-2 s of spin-up for a stage whose only "state" is a lookup ref,
+    # and tasks scale with the cluster instead of a fixed pool
     qref = ray.put((qids, qmat))
 
-    class PartialTopK:
-        def __init__(self, qref, k):
-            self.qids, self.qmat = ray.get(qref) if isinstance(
-                qref, ray.ObjectRef) else qref
-            self.k = k
+    def partial_topk(t: pa.Table, *, qref, k) -> pa.Table:
+        qids, qmat = ray.get(qref) if isinstance(
+            qref, ray.ObjectRef) else qref
+        bid = t.column("vec_id").to_numpy()
+        bm = _normalize(list_matrix(t.column("embedding")))
+        sims = qmat @ bm.T                          # (Q, B)
+        # mask self-matches
+        for qi, qv in enumerate(qids):
+            sims[qi, bid == qv] = -np.inf
+        kk = min(k, sims.shape[1])
+        # per query: top-k by (sim desc, id asc)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        q_out = np.repeat(qids, kk)
+        n_out = bid[idx].ravel()
+        s_out = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(s_out)
+        return pa.table({"query_id": pa.array(q_out[keep]),
+                         "neighbor_id": pa.array(n_out[keep]),
+                         "cos_sim": pa.array(s_out[keep])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bid = t.column("vec_id").to_numpy()
-            bm = _normalize(list_matrix(t.column("embedding")))
-            sims = self.qmat @ bm.T                     # (Q, B)
-            # mask self-matches
-            for qi, qv in enumerate(self.qids):
-                sims[qi, bid == qv] = -np.inf
-            kk = min(self.k, sims.shape[1])
-            # per query: top-k by (sim desc, id asc)
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            q_out = np.repeat(self.qids, kk)
-            n_out = bid[idx].ravel()
-            s_out = np.take_along_axis(sims, idx, axis=1).ravel()
-            keep = np.isfinite(s_out)
-            return pa.table({"query_id": pa.array(q_out[keep]),
-                             "neighbor_id": pa.array(n_out[keep]),
-                             "cos_sim": pa.array(s_out[keep])})
-
-    partial = ds.map_batches(PartialTopK, fn_constructor_args=(qref, k),
-                             batch_format="pyarrow", concurrency=(1, 4))
+    partial = ds.map_batches(partial_topk,
+                             fn_kwargs={"qref": qref, "k": k},
+                             batch_format="pyarrow")
     cand = partial.to_pandas()
     cand = cand.sort_values(["query_id", "cos_sim", "neighbor_id"],
                             ascending=[True, False, True], kind="stable")
@@ -206,6 +207,24 @@ def knn_lsh_sql(query_ids: list[int], k: int, nbits: int = 8,
     """
 
 
+_SRP_HASHER_CACHE: dict = {}
+
+
+def _bucketize_srp(t: pa.Table, *, nbits: int, seed: int) -> pa.Table:
+    """(vec_id, packed normalized vec, SRP bucket) per row — the
+    hasher is built once per worker process per (dim, nbits, seed)."""
+    m = _normalize(list_matrix(t.column("embedding")))
+    key = (m.shape[1], nbits, seed)
+    h = _SRP_HASHER_CACHE.get(key)
+    if h is None:
+        h = _SRP_HASHER_CACHE[key] = _HyperplaneHasher(*key)
+    return pa.table({
+        "vec_id": t.column("vec_id"),
+        "vec": pack_rows(m),
+        "bucket": pa.array(h.sign_bits(m)),
+    })
+
+
 def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
             seed: int = 42, num_partitions: int | None = None
             ) -> pa.Table:
@@ -228,29 +247,16 @@ def knn_lsh(embs, query_ids: list[int], k: int = 10, nbits: int = 8,
     from ..stages.join import hash_join
 
     ds = _to_ds(embs)
-    first = ds.take(1)   # one block executes, not the dataset
-    if not first:
-        raise ValueError("empty embeddings dataset")
-    dim = len(first[0]["embedding"])
-    hasher = _HyperplaneHasher(dim, nbits, seed)
-    href = ray.put(hasher)
-
-    class Bucketize:
-        def __init__(self, href):
-            self.h = ray.get(href) if isinstance(
-                href, ray.ObjectRef) else href
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(list_matrix(t.column("embedding")))
-            return pa.table({
-                "vec_id": t.column("vec_id"),
-                "vec": pack_rows(m),
-                "bucket": pa.array(self.h.sign_bits(m)),
-            })
-
-    bucketed = ds.map_batches(Bucketize, fn_constructor_args=(href,),
+    # STATELESS-TASK bucketizer: the hasher is deterministic from
+    # (dim, nbits, seed) and dim is visible in every batch, so each
+    # worker process builds it lazily ONCE (module cache) — no
+    # driver-side take(1) probe, no ray.put, no actor-pool spin-up.
+    bucketed = ds.map_batches(_bucketize_srp,
+                              fn_kwargs={"nbits": nbits, "seed": seed},
                               batch_format="pyarrow",
-                              concurrency=(1, 4)).materialize()
+                              zero_copy_batch=True).materialize()
+    if bucketed.count() == 0:
+        raise ValueError("empty embeddings dataset")
 
     # probe table from the query rows (filtered scan — only the query
     # rows reach the driver): own bucket + all Hamming-1 neighbors
@@ -280,7 +286,15 @@ def _probe_join_topk(bucketed, probes, k: int,
     the (pbucket, query_id, qvec) probe table onto the (bucket,
     vec_id, vec) corpus, verify cosine + partial top-k vectorized per
     batch, merge <= Q*k rows per batch on the driver."""
-    from ..stages.join import hash_join
+    from ..stages.join import default_join_partitions, hash_join
+
+    if num_partitions is None:
+        # size the join to the DATA, not the cluster: the probe side
+        # is Q*(probes) rows and the corpus is materialized upstream
+        # (count is metadata) — a cluster-wide aggregator pool on a
+        # small corpus multiplies the join's fixed cost for nothing
+        num_partitions = int(max(8, min(default_join_partitions(),
+                                        bucketed.count() // 500_000)))
 
     def verify(t: pa.Table) -> pa.Table:
         empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -377,25 +391,23 @@ def knn_ivf(embs, query_ids: list[int], k: int = 10,
     sample = _normalize(np.stack([
         np.asarray(r["embedding"], np.float64) for r in sample_rows]))
     cent = kmeans_fit(sample, n_clusters, seed=seed)
+    # broadcast centroids once; stateless tasks read the local plasma
+    # copy per batch (same rationale as knn_bruteforce's partial_topk)
     cref = ray.put(cent)
 
-    class Assign:
-        def __init__(self, cref):
-            self.cent = ray.get(cref) if isinstance(
-                cref, ray.ObjectRef) else cref
+    def assign(t: pa.Table, *, cref) -> pa.Table:
+        cent = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        m = _normalize(list_matrix(t.column("embedding")))
+        bucket = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "vec": pack_rows(m),
+            "bucket": pa.array(bucket),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(list_matrix(t.column("embedding")))
-            bucket = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
-            return pa.table({
-                "vec_id": t.column("vec_id"),
-                "vec": pack_rows(m),
-                "bucket": pa.array(bucket),
-            })
-
-    bucketed = ds.map_batches(Assign, fn_constructor_args=(cref,),
+    bucketed = ds.map_batches(assign, fn_kwargs={"cref": cref},
                               batch_format="pyarrow",
-                              concurrency=(1, 4)).materialize()
+                              zero_copy_batch=True).materialize()
 
     qrows = _fetch_rows(bucketed, query_ids)
     missing = set(query_ids) - {r["vec_id"] for r in qrows}
