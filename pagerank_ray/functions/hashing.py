@@ -106,17 +106,21 @@ class MinHasher:
         })
 
 
-_DEFAULT_HASHER: "MinHasher | None" = None
+_MINHASHER_CACHE: dict = {}
 
 
-def minhash_batch(batch):
+def minhash_batch(batch, num_perm: int = 128, n: int = 3,
+                  seed: int = 42):
     """Stateless-task form of MinHasher (process-cached permutation
-    tables): lets Ray Data scale it as plain tasks with the cluster
-    CPU count instead of a fixed actor pool."""
-    global _DEFAULT_HASHER
-    if _DEFAULT_HASHER is None:
-        _DEFAULT_HASHER = MinHasher()
-    return _DEFAULT_HASHER(batch)
+    tables, keyed by the parameters): lets Ray Data scale it as plain
+    tasks with the cluster CPU count instead of a fixed actor pool —
+    the permutation build is microseconds, not model-load-class
+    state."""
+    key = (num_perm, n, seed)
+    h = _MINHASHER_CACHE.get(key)
+    if h is None:
+        h = _MINHASHER_CACHE[key] = MinHasher(num_perm, n, seed)
+    return h(batch)
 
 
 def band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:

@@ -103,19 +103,17 @@ def curate_documents(sf_dir: str, lang: str = "en",
     keepers = exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
     keep_ref = ray.put(keepers.column("doc_id").combine_chunks())
 
-    class KeeperFilter:
-        def __init__(self, keep_ref):
-            keep = ray.get(keep_ref) if isinstance(
-                keep_ref, ray.ObjectRef) else keep_ref
-            self.keep = keep  # pa.Array of keeper ids
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.is_in(t.column("doc_id"), value_set=self.keep)
-            return t.filter(keep)
+    # stateless tasks: the broadcast keeper-id array is a zero-copy
+    # plasma get per batch — no actor-pool spin-up for a lookup ref
+    def keeper_filter(t: pa.Table, *, keep_ref) -> pa.Table:
+        keep_ids = ray.get(keep_ref) if isinstance(
+            keep_ref, ray.ObjectRef) else keep_ref
+        keep = pc.is_in(t.column("doc_id"), value_set=keep_ids)
+        return t.filter(keep)
 
     return filtered.map_batches(
-        KeeperFilter, fn_constructor_args=(keep_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        keeper_filter, fn_kwargs={"keep_ref": keep_ref},
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 CURATE_SQL = r"""

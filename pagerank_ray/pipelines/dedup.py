@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.hashing import (MinHasher, band_keys, hamming64,
+from ..functions.hashing import (band_keys, hamming64, minhash_batch,
                                  shingle_hashes, simhash64, word_shingles)
 from ..functions.vectors import (binary_flat, binary_matrix, list_matrix,
                                  pack_rows)
@@ -191,8 +191,9 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
     """
     ds = _to_ds(docs).materialize()
 
-    sigs = ds.map_batches(MinHasher, fn_constructor_args=(num_perm, n),
-                          batch_format="pyarrow", concurrency=(1, 4))
+    sigs = ds.map_batches(minhash_batch,
+                          fn_kwargs={"num_perm": num_perm, "n": n},
+                          batch_format="pyarrow")
 
     def explode_bands(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -677,26 +678,25 @@ def embedding_cosine_pairs(embs, threshold: float = 0.95) -> pa.Table:
     mat = mat / np.maximum(norms, 1e-300)[:, None]
     ref = ray.put((ids, mat))
 
-    class CosPairs:
-        def __init__(self, ref, threshold):
-            self.ids, self.mat = ray.get(ref) if isinstance(
-                ref, ray.ObjectRef) else ref
-            self.threshold = threshold
+    # stateless tasks: the "state" is one broadcast lookup ref —
+    # a zero-copy plasma get per batch, no actor-pool spin-up
+    def cos_pairs(t: pa.Table, *, ref, threshold) -> pa.Table:
+        ids, mat = ray.get(ref) if isinstance(
+            ref, ray.ObjectRef) else ref
+        bid = t.column("vec_id").to_numpy()
+        bm = list_matrix(t.column("embedding"))
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1),
+                             1e-300)[:, None]
+        sims = bm @ mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a = bid[rows]
+        b = ids[cols]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bid = t.column("vec_id").to_numpy()
-            bm = list_matrix(t.column("embedding"))
-            bm = bm / np.maximum(np.linalg.norm(bm, axis=1),
-                                 1e-300)[:, None]
-            sims = bm @ self.mat.T
-            rows, cols = np.nonzero(sims >= self.threshold)
-            a = bid[rows]
-            b = self.ids[cols]
-            keep = a < b
-            return pa.table({"a": pa.array(a[keep]),
-                             "b": pa.array(b[keep])})
-
-    out = ds.map_batches(CosPairs, fn_constructor_args=(ref, threshold),
-                         batch_format="pyarrow", concurrency=(1, 4))
+    out = ds.map_batches(cos_pairs,
+                         fn_kwargs={"ref": ref, "threshold": threshold},
+                         batch_format="pyarrow")
     res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return res.sort_by([("a", "ascending"), ("b", "ascending")])

@@ -57,31 +57,31 @@ def prepare_corpus(sf_dir: str, lang: str = "en",
     keep_ref = ray.put(clusters.column("doc_id").filter(keep_mask)
                        .combine_chunks())
 
-    class Keep:
-        def __init__(self, keep_ref, lang, lo, hi, pct):
-            self.keep = ray.get(keep_ref) if isinstance(
-                keep_ref, ray.ObjectRef) else keep_ref
-            self.lang, self.lo, self.hi, self.pct = lang, lo, hi, pct
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ntok = token_count(t.column("text"))
-            mask = pc.is_in(t.column("doc_id"),
-                            value_set=self.keep).to_numpy(
-                                zero_copy_only=False)
-            mask &= pc.equal(t.column("lang"), pa.scalar(
-                self.lang)).to_numpy(zero_copy_only=False)
-            nt = ntok.to_numpy()
-            mask &= (nt >= self.lo) & (nt <= self.hi)
-            mask &= _sha256_buckets(
-                t.column("text").to_pylist()) < self.pct
-            return t.append_column("n_tokens", ntok).filter(
-                pa.array(mask))
+    # stateless tasks: the broadcast keeper set is a zero-copy plasma
+    # get per batch — no actor-pool spin-up for a lookup ref
+    def keep_batch(t: pa.Table, *, keep_ref, lang, lo, hi,
+                   pct) -> pa.Table:
+        keep_ids = ray.get(keep_ref) if isinstance(
+            keep_ref, ray.ObjectRef) else keep_ref
+        ntok = token_count(t.column("text"))
+        mask = pc.is_in(t.column("doc_id"),
+                        value_set=keep_ids).to_numpy(
+                            zero_copy_only=False)
+        mask &= pc.equal(t.column("lang"), pa.scalar(
+            lang)).to_numpy(zero_copy_only=False)
+        nt = ntok.to_numpy()
+        mask &= (nt >= lo) & (nt <= hi)
+        mask &= _sha256_buckets(
+            t.column("text").to_pylist()) < pct
+        return t.append_column("n_tokens", ntok).filter(
+            pa.array(mask))
 
     kept = docs.map_batches(
-        Keep, fn_constructor_args=(keep_ref, lang, min_tokens,
-                                   max_tokens, sample_pct),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        keep_batch,
+        fn_kwargs={"keep_ref": keep_ref, "lang": lang,
+                   "lo": min_tokens, "hi": max_tokens,
+                   "pct": sample_pct},
+        batch_format="pyarrow", zero_copy_batch=True)
 
     if out_dir is not None:
         kept.write_parquet(out_dir, partition_cols=["lang"])

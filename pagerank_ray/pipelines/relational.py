@@ -690,30 +690,27 @@ def broadcast_join_orders_customer(sf_dir: str):
                                     preserve_index=False)
     cref = ray.put(cust_tbl)
 
-    class Join:
-        def __init__(self, cref):
-            t = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
-            self.keys = t.column("c_custkey").combine_chunks()
-            self.name = t.column("c_name").combine_chunks()
-            self.seg = t.column("c_mktsegment").combine_chunks()
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
-            out = pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "o_custkey": t.column("o_custkey"),
-                "o_totalprice": t.column("o_totalprice"),
-                "c_name": pc.take(self.name, idx),
-                "c_mktsegment": pc.take(self.seg, idx),
-            })
-            # inner-join semantics: drop unmatched orders
-            return out.filter(pc.is_valid(idx))
+    # stateless tasks: the broadcast customer table is a zero-copy
+    # plasma get per batch — no actor-pool spin-up for a lookup ref
+    def bjoin(t: pa.Table, *, cref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        idx = pc.index_in(t.column("o_custkey"),
+                          value_set=c.column("c_custkey"))
+        out = pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "c_name": pc.take(c.column("c_name"), idx),
+            "c_mktsegment": pc.take(c.column("c_mktsegment"), idx),
+        })
+        # inner-join semantics: drop unmatched orders
+        return out.filter(pc.is_valid(idx))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey",
                                   "o_totalprice"])
-    return ds.map_batches(Join, fn_constructor_args=(cref,),
-                          batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(bjoin, fn_kwargs={"cref": cref},
+                          batch_format="pyarrow")
 
 
 BROADCAST_JOIN_SQL = """
@@ -816,28 +813,27 @@ def outlier_events(sf_dir: str, q: float = 0.9):
     tref = ray.put((thr.column("event_type").to_pylist(),
                     thr.column("value").to_numpy()))
 
-    class Flt:
-        def __init__(self, tref):
-            types, vals = ray.get(tref) if isinstance(
-                tref, ray.ObjectRef) else tref
-            self.types = pa.array(types, pa.string())
-            self.vals = np.asarray(vals, np.float64)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pos = pc.index_in(t.column("event_type"),
-                              value_set=self.types).to_numpy(
-                                  zero_copy_only=False)
-            ok = pos == pos
-            cut = np.full(t.num_rows, np.inf)
-            cut[ok] = self.vals[pos[ok].astype(np.int64)]
-            keep = t.column("value").to_numpy() > cut
-            return t.select(["event_id", "event_type",
-                             "value"]).filter(pa.array(keep))
+    # stateless tasks: the broadcast thresholds are a zero-copy
+    # plasma get per batch — no actor-pool spin-up for a lookup ref
+    def flt(t: pa.Table, *, tref) -> pa.Table:
+        types, vals = ray.get(tref) if isinstance(
+            tref, ray.ObjectRef) else tref
+        types = pa.array(types, pa.string())
+        vals = np.asarray(vals, np.float64)
+        pos = pc.index_in(t.column("event_type"),
+                          value_set=types).to_numpy(
+                              zero_copy_only=False)
+        ok = pos == pos
+        cut = np.full(t.num_rows, np.inf)
+        cut[ok] = vals[pos[ok].astype(np.int64)]
+        keep = t.column("value").to_numpy() > cut
+        return t.select(["event_id", "event_type",
+                         "value"]).filter(pa.array(keep))
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
-    return ds.map_batches(Flt, fn_constructor_args=(tref,),
-                          batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(flt, fn_kwargs={"tref": tref},
+                          batch_format="pyarrow")
 
 
 OUTLIER_EVENTS_SQL = """

@@ -157,27 +157,26 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     kref = ray.put(pa.array(keys["c_custkey"].to_numpy()))
 
-    class OrdersSemi:
-        def __init__(self, kref):
-            self.keys = ray.get(kref) if isinstance(
-                kref, ray.ObjectRef) else kref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            od = t.column("o_orderdate").cast(pa.int64())
-            keep = pc.and_(
-                pc.is_valid(pc.index_in(t.column("o_custkey"),
-                                        value_set=self.keys)),
-                pc.less(od, pa.scalar(int(date), pa.int64())))
-            return pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "o_orderdate_us": od,
-            }).filter(keep)
+    # stateless tasks: the broadcast key set is a zero-copy plasma
+    # get per batch — no actor-pool spin-up for a lookup ref
+    def orders_semi(t: pa.Table, *, kref) -> pa.Table:
+        keys = ray.get(kref) if isinstance(
+            kref, ray.ObjectRef) else kref
+        od = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(
+            pc.is_valid(pc.index_in(t.column("o_custkey"),
+                                    value_set=keys)),
+            pc.less(od, pa.scalar(int(date), pa.int64())))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate_us": od,
+        }).filter(keep)
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-            OrdersSemi, fn_constructor_args=(kref,),
-            batch_format="pyarrow", concurrency=(1, 4))
+            orders_semi, fn_kwargs={"kref": kref},
+            batch_format="pyarrow")
 
     def li_side(t: pa.Table) -> pa.Table:
         ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
@@ -366,34 +365,31 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
     sref = ray.put((pa.array(supp["s_suppkey"].to_numpy()),
                     supp["s_nationkey"].to_numpy()))
 
-    class SameNationRev:
-        """suppkey -> nationkey lookup fetched once per actor;
-        per-batch filter supp_nation == cust_nation + partial agg."""
+    # stateless tasks: the broadcast suppkey->nationkey lookup is a
+    # zero-copy plasma get per batch; filter supp_nation ==
+    # cust_nation + partial agg per batch
+    def same_nation_rev(t: pa.Table, *, sref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        skeys, snation = ray.get(sref) if isinstance(
+            sref, ray.ObjectRef) else sref
+        pos = pc.index_in(t.column("l_suppkey"),
+                          value_set=skeys).to_numpy(
+                              zero_copy_only=False)
+        valid = pos == pos  # non-null
+        snat = np.full(t.num_rows, -1, dtype=np.int64)
+        snat[valid] = snation[pos[valid].astype(np.int64)]
+        keep = snat == t.column("c_nationkey").to_numpy()
+        df = (pd.DataFrame({
+                "n_nationkey": snat[keep],
+                "rev": t.column("rev").to_numpy()[keep]})
+              .groupby("n_nationkey", sort=False).sum()
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-        def __init__(self, sref):
-            self.skeys, self.snation = ray.get(sref) if isinstance(
-                sref, ray.ObjectRef) else sref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"n_nationkey": pa.array([], pa.int64()),
-                                 "rev": pa.array([], pa.float64())})
-            pos = pc.index_in(t.column("l_suppkey"),
-                              value_set=self.skeys).to_numpy(
-                                  zero_copy_only=False)
-            valid = pos == pos  # non-null
-            snat = np.full(t.num_rows, -1, dtype=np.int64)
-            snat[valid] = self.snation[pos[valid].astype(np.int64)]
-            keep = snat == t.column("c_nationkey").to_numpy()
-            df = (pd.DataFrame({
-                    "n_nationkey": snat[keep],
-                    "rev": t.column("rev").to_numpy()[keep]})
-                  .groupby("n_nationkey", sort=False).sum()
-                  .reset_index())
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-    out = (j2.map_batches(SameNationRev, fn_constructor_args=(sref,),
-                          batch_format="pyarrow", concurrency=(1, 4))
+    out = (j2.map_batches(same_nation_rev, fn_kwargs={"sref": sref},
+                          batch_format="pyarrow")
            .groupby("n_nationkey").sum("rev"))
 
     def finish(t: pa.Table) -> pa.Table:

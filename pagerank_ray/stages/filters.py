@@ -73,33 +73,29 @@ def heavy_targets(edges_ds, filter_ratio: float, num_nodes: int,
     return {r["dst"] for r in heavy}
 
 
-class InLinkFilter:
-    """J2 edge filter against a broadcast heavy-target set.
-
-    The set travels once via ray.put; each task resolves the ref once
-    (Ray caches the object locally), then filters vectorized.
-    """
-
-    def __init__(self, heavy_ref):
-        self._heavy = ray.get(heavy_ref) if isinstance(
-            heavy_ref, ray.ObjectRef) else heavy_ref
-        self._heavy_arr = pa.array(sorted(self._heavy), pa.string())
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(self._heavy) == 0:
-            return batch
-        is_heavy = pc.is_in(batch.column("dst"), value_set=self._heavy_arr)
-        return batch.filter(pc.invert(is_heavy))
-
-
 def inlink_ratio_filter(edges_ds, filter_ratio: float | None,
                         num_nodes: int):
-    """Apply J2; ``filter_ratio=None`` is a no-op (reference default)."""
+    """Apply J2; ``filter_ratio=None`` is a no-op (reference default).
+
+    The heavy set is broadcast once via ray.put and filtered by
+    STATELESS tasks (zero-copy plasma get per batch) — a lookup ref
+    is not actor-pool state."""
     if filter_ratio is None:
         return edges_ds
     heavy = heavy_targets(edges_ds, filter_ratio, num_nodes)
-    heavy_ref = ray.put(heavy)
+    # broadcast the SORTED Arrow array (built once on the driver, not
+    # per batch)
+    heavy_ref = ray.put(pa.array(sorted(heavy), pa.string()))
+
+    def flt(batch: pa.Table, *, heavy_ref) -> pa.Table:
+        heavy_arr = ray.get(heavy_ref) if isinstance(
+            heavy_ref, ray.ObjectRef) else heavy_ref
+        if len(heavy_arr) == 0:
+            return batch
+        is_heavy = pc.is_in(batch.column("dst"), value_set=heavy_arr)
+        return batch.filter(pc.invert(is_heavy))
+
     return edges_ds.map_batches(
-        InLinkFilter, fn_constructor_args=(heavy_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        flt, fn_kwargs={"heavy_ref": heavy_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
