@@ -15,7 +15,13 @@ import tempfile
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--data", required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--data", help="gzip/plain CSV edge list "
+                                    "(reference S1)")
+    src.add_argument("--corpus",
+                     help="parquet corpus of source-code repositories "
+                          "(repo, path, commit, lang, content) — runs "
+                          "the flagship extract->graph->pagerank flow")
     parser.add_argument("--personalization_vector_query", default=None)
     parser.add_argument("--search_query", default="")
     parser.add_argument("--filter_ratio", type=float, default=None)
@@ -27,9 +33,11 @@ def main(argv=None) -> int:
                         help="cap on edges read (reference S2, without "
                              "its off-by-one)")
     parser.add_argument("--num_parts", type=int, default=8)
-    parser.add_argument("--url_filter", default=True,
+    parser.add_argument("--url_filter", default=None,
                         action=argparse.BooleanOptionalAction,
-                        help="M1 regex filter (disable: --no-url_filter)")
+                        help="M1 regex filter (default: on for --data, "
+                             "matching the reference; off for --corpus "
+                             "whose nodes are file paths, not URLs)")
     parser.add_argument("--boost", action="store_true",
                         help="v2 search: synonym score boost "
                              "(pagerank2.py:171-201)")
@@ -40,10 +48,14 @@ def main(argv=None) -> int:
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # Under `ray job submit` RAY_ADDRESS points at the cluster —
+        # connect to it; bare local runs fall back to a local session.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from .context import configure_data_context
     configure_data_context()
 
@@ -62,9 +74,17 @@ def main(argv=None) -> int:
 
     with tempfile.TemporaryDirectory() as tmp:
         gdir = f"{tmp}/graph"
-        edges = read_edge_csv(args.data, max_edges=args.max_nnz)
+        if args.corpus:
+            import ray.data as rd
+
+            from .stages.extract import extract_edges
+            edges = extract_edges(rd.read_parquet(args.corpus))
+        else:
+            edges = read_edge_csv(args.data, max_edges=args.max_nnz)
+        url_filter = args.url_filter if args.url_filter is not None \
+            else not args.corpus
         build_graph(edges, gdir, num_parts=args.num_parts,
-                    apply_url_filter=args.url_filter,
+                    apply_url_filter=url_filter,
                     filter_ratio=args.filter_ratio)
         runner = PageRankRunner(gdir)
         try:

@@ -100,6 +100,14 @@ def build_graph(
 
     nodes_distinct = enc.distinct_nodes_dataset(edges_ds).materialize()
     n = nodes_distinct.count()
+    if n == 0:
+        # fail HERE with a clear message instead of letting shard
+        # actors crash on a missing nodes layout downstream
+        raise ValueError(
+            "build_graph: no nodes survive the input/filter chain "
+            "(empty edge stream, or every edge removed by the URL "
+            "filter — e.g. a source-code corpus run with "
+            "apply_url_filter=True)")
     use_broadcast = encode_mode == "broadcast" or (
         encode_mode == "auto" and n <= broadcast_threshold)
 
