@@ -61,7 +61,7 @@ def main(argv=None) -> int:
 
     from .functions.query import SynonymExpander, url_satisfies_query
     from .graph.build import build_graph
-    from .graph.pagerank import PageRankRunner, write_ranks
+    from .graph.pagerank import PageRankRunner
     from .pipelines.search import format_results, search, search_boosted
     from .sources.edge_csv import read_edge_csv
 
@@ -94,10 +94,12 @@ def main(argv=None) -> int:
             if args.verbose:
                 print(f"iterations={runner.iterations_run} "
                       f"residual={runner.final_residual:.4e}")
+            if args.output_dir:
+                # worker-side sink: each shard writes its own parquet
+                # partition; the n-row result never lands on the driver
+                runner.write_ranks_distributed(args.output_dir)
         finally:
             runner.close()
-        if args.output_dir:
-            write_ranks(ranks, args.output_dir)
         if args.boost:
             top = search_boosted(ranks, args.search_query,
                                  args.max_results, expander=expander,
