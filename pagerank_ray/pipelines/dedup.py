@@ -323,9 +323,16 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
 def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
                    num_bands: int = 16, threshold: float = 0.5,
                    join_partitions: int = 8,
-                   num_parts: int = 4) -> pa.Table:
+                   num_parts: int = 4,
+                   out_dir: str | None = None) -> pa.Table | None:
     """Near-duplicate CLUSTERING: (doc_id, canonical_id) where
     canonical_id = min doc_id in the document's near-dup component.
+
+    ``out_dir``: when set, the (doc_id, canonical_id) table is written
+    as sharded parquet straight from the join's output blocks and None
+    is returned — the scale path where even the one-row-per-document
+    result must not land on the driver. Default (None) returns the
+    sorted driver table (the query-contract form).
 
     The full 100-TB dedup composition: MinHash+LSH candidate pairs
     (banded buckets, exact-Jaccard verified) form an edge list; one
@@ -407,6 +414,9 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
 
     out = joined.map_batches(pick, batch_format="pyarrow",
                              zero_copy_batch=True)
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        return None
     res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return res.sort_by([("doc_id", "ascending")])
 

@@ -52,3 +52,26 @@ def test_prepare_corpus_drops_cluster_duplicates():
         clusters["doc_id"] != clusters["canonical_id"], "doc_id"])
     kept = set(prepare_corpus(SF).to_pandas()["doc_id"])
     assert not (kept & dupes)
+
+
+def test_dedup_clusters_out_dir_matches_driver_table(tmp_path):
+    """The parquet scale path emits the same (doc_id, canonical_id)
+    mapping as the driver-table form."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.dedup import dedup_clusters
+
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3
+             + ["one two three four five six"] * 2
+             + ["lone wolf document completely unique here"])
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = dedup_clusters(rd.from_arrow(docs))
+    out = str(tmp_path / "clusters")
+    assert dedup_clusters(rd.from_arrow(docs), out_dir=out) is None
+    got = (rd.read_parquet(out).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want.to_pandas())
