@@ -94,7 +94,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pagerank_ray.functions.query import satisfies_query_batch
-    from pagerank_ray.functions.text import (LangId, fingerprint_batch,
+    from pagerank_ray.functions.text import (LangId, bpe_token_count,
+                                             fingerprint_batch,
                                              quality_counts_batch,
                                              token_count)
     from pagerank_ray.pipelines.dedup import (dedup_clusters,
@@ -378,6 +379,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "n_tokens": token_count(t.column("text"))}),
             batch_format="pyarrow")
 
+    def q_bpe_token_counts(sf_dir):
+        """BPE-ish pre-tokenizer segment counts (the build brief's
+        "whitespace + a BPE-ish regex" pair with token_counts): one
+        RE2 scan per batch; DuckDB replays the identical RE2 pattern,
+        so the driver hash-checks exact counts."""
+        _quiet()
+        return _docs(sf_dir).map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": bpe_token_count(t.column("text"))}),
+            batch_format="pyarrow")
+
     def q_quality_counts(sf_dir):
         _quiet()
         return _docs(sf_dir).map_batches(
@@ -658,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_counts": q_quality_counts,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -859,6 +873,7 @@ def _lpa_sql(rounds: int = 10) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerank_ray.functions.text import BPE_TOKEN_PATTERN
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.functions.sketch import \
         hll_distinct_sql as _hll_sql
@@ -1093,6 +1108,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\S+')) AS n_tokens
             FROM documents
         """,
+
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{}')) AS n_bpe_tokens
+            FROM documents
+        """.format(BPE_TOKEN_PATTERN.replace("'", "''")),
 
         "quality_counts": r"""
             SELECT doc_id,

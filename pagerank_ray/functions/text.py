@@ -15,6 +15,14 @@ import pyarrow.compute as pc
 TOKEN_PATTERN = r"\S+"
 PUNCT_PATTERN = r"[.,;:!?]"
 
+# BPE-ish pre-tokenizer (GPT-2-style segment classes), restricted to
+# RE2-expressible constructs: RE2 has no lookahead, so the original
+# pattern's trailing-space handling is simplified to a greedy \s+
+# class. Both Arrow and DuckDB run RE2, so counts agree exactly and
+# the oracle is plain len(regexp_extract_all(...)).
+BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
 # language-ID stopword sets (tiny n-gram-free heuristic; real corpora
 # would use char n-gram profiles — the interface stays the same)
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -51,6 +59,15 @@ def token_count(text_col) -> pa.Array:
     """Whitespace token count (count of \\S+ matches)."""
     return pc.cast(pc.count_substring_regex(text_col, TOKEN_PATTERN),
                    pa.int64())
+
+
+def bpe_token_count(text_col) -> pa.Array:
+    """BPE-ish token count: non-overlapping BPE_TOKEN_PATTERN matches
+    (one C-level RE2 scan per batch) — the pre-tokenizer segment count
+    a byte-pair encoder would start from."""
+    return pc.cast(
+        pc.count_substring_regex(text_col, BPE_TOKEN_PATTERN),
+        pa.int64())
 
 
 def quality_counts_batch(batch: pa.Table,

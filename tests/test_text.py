@@ -73,3 +73,22 @@ def test_langid_dataset_actor_pool():
         concurrency=2).take_all()
     assert len(out) == 10
     assert all(r["lang_pred"] == "en" for r in out)
+
+
+def test_bpe_token_count_known_values_and_duckdb_parity():
+    import duckdb
+    import pyarrow as pa
+
+    from pagerank_ray.functions.text import (BPE_TOKEN_PATTERN,
+                                             bpe_token_count)
+
+    texts = ["Hello world!", "it's 2026, let's tokenize...",
+             "", "  spaces   and\ttabs\n", "naïve café №42"]
+    got = bpe_token_count(pa.array(texts, pa.string())).to_pylist()
+    assert got == [3, 8, 0, 7, 4]
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    sql = [con.execute(
+        f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]).fetchone()[0]
+        for t in texts]
+    assert got == sql
