@@ -94,3 +94,17 @@ def test_connected_components_distributed_sink(tmp_path):
     assert isinstance(man, dict) and man["kind"] == "label"
     got = _sorted_table(read_result_dataset(out))
     assert got.equals(collected)
+
+
+def test_lpa_distributed_sink(tmp_path):
+    from pagerank_ray.graph.labelprop import label_propagation
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=3,
+                undirected=True)
+    collected = label_propagation(gdir, rounds=10)
+    out = str(tmp_path / "labels")
+    man = label_propagation(gdir, rounds=10, out_dir=out)
+    assert isinstance(man, dict) and man["kind"] == "label"
+    assert _sorted_table(read_result_dataset(out)).equals(collected)
