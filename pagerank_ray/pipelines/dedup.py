@@ -207,6 +207,9 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
         sig = list_matrix(t.column("minhash"), np.int64).view(np.uint64)
         nr, num_perm = sig.shape
         rows_per_band = num_perm // num_bands
+        # band_keys semantics: a trailing num_perm % num_bands remainder
+        # is ignored (same as the slice-based form)
+        sig = sig[:, :num_bands * rows_per_band]
         chunks = np.ascontiguousarray(
             sig.reshape(nr * num_bands, rows_per_band))
         keys = np.fromiter(
