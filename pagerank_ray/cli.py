@@ -79,6 +79,10 @@ def main(argv=None) -> int:
 
             from .stages.extract import extract_edges
             edges = extract_edges(rd.read_parquet(args.corpus))
+            if args.max_nnz is not None:
+                # S2 semantics on the extracted edge stream (the CSV
+                # branch caps edges at the read the same way)
+                edges = edges.limit(args.max_nnz)
         else:
             edges = read_edge_csv(args.data, max_edges=args.max_nnz)
         url_filter = args.url_filter if args.url_filter is not None \

@@ -62,6 +62,10 @@ def pack_rows(m: np.ndarray) -> pa.Array:
     m = np.ascontiguousarray(m)
     n = m.shape[0]
     w = int(m.shape[1]) * m.itemsize
+    if n == 0 or w == 0:
+        # list_matrix returns (0, 0) for empty batches; np.arange with
+        # step 0 would raise — emit a typed empty binary array instead
+        return pa.array([b""] * n, pa.binary())
     offs = np.arange(0, (n + 1) * w, w, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), n,

@@ -575,16 +575,21 @@ class GraphWorker:
     _RESULT_ATTR = {"rank": "x_prev", "label": "labels"}
 
     def result_hashes(self, kind: str) -> list[tuple[int, str]]:
-        """(part, sha256 of the shard's result values) per shard —
-        the driver combines these into the run fingerprint without
-        ever pulling the values."""
+        """(part, sha256 of the shard's NAMES + result values) per
+        shard — the driver combines these into the run fingerprint
+        without ever pulling the values. Names are included so two
+        different graphs whose value arrays coincide (renamed nodes,
+        symmetric rank vectors) can never be treated as the same run
+        and skip-keep stale partitions."""
         import hashlib
         attr = self._RESULT_ATTR[kind]
-        return [(sh.part,
-                 hashlib.sha256(
-                     np.ascontiguousarray(getattr(sh, attr)).tobytes()
-                 ).hexdigest())
-                for sh in self.shards]
+        out = []
+        for sh in self.shards:
+            h = hashlib.sha256()
+            h.update(np.ascontiguousarray(sh.names).tobytes())
+            h.update(np.ascontiguousarray(getattr(sh, attr)).tobytes())
+            out.append((sh.part, h.hexdigest()))
+        return out
 
     def write_result(self, out_dir: str, kind: str,
                      skip_parts: list[int]) -> list[int]:

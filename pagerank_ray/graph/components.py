@@ -88,6 +88,14 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
         rnd = 0
         if resume:
             man = load_labels_manifest(checkpoint_dir)
+            if man.get("algorithm") != "cc" or \
+                    man.get("num_parts") != meta["num_parts"]:
+                raise ValueError(
+                    f"checkpoint mismatch: manifest is "
+                    f"algorithm={man.get('algorithm')!r} "
+                    f"num_parts={man.get('num_parts')}, this run is "
+                    f"cc/{meta['num_parts']} — resuming would "
+                    f"converge to wrong labels")
             rnd = man["round"]
             ray.get([w.labels_load.remote(checkpoint_dir, rnd)
                      for w in W])

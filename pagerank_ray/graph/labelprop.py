@@ -67,6 +67,14 @@ def label_propagation(graph_dir: str, rounds: int = 10,
         if resume:
             from .components import load_labels_manifest
             man = load_labels_manifest(checkpoint_dir)
+            if man.get("algorithm") != "lpa" or \
+                    man.get("num_parts") != meta["num_parts"]:
+                raise ValueError(
+                    f"checkpoint mismatch: manifest is "
+                    f"algorithm={man.get('algorithm')!r} "
+                    f"num_parts={man.get('num_parts')}, this run is "
+                    f"lpa/{meta['num_parts']} — resuming would "
+                    f"produce wrong labels")
             start = man["round"]
             ray.get([w.labels_load.remote(checkpoint_dir, start)
                      for w in W])

@@ -146,6 +146,17 @@ class PageRankRunner:
         start_iter = 0
         if resume:
             man = load_manifest(checkpoint_dir)
+            if man.get("num_parts") != self.meta["num_parts"] or \
+                    man.get("alpha") != alpha:
+                # alpha changes the fixpoint; num_parts changes the
+                # shard layout — resuming across either is silent
+                # wrong-answer territory, so refuse loudly
+                raise ValueError(
+                    f"checkpoint mismatch: manifest has "
+                    f"alpha={man.get('alpha')} "
+                    f"num_parts={man.get('num_parts')}, this run "
+                    f"requests alpha={alpha} / "
+                    f"num_parts={self.meta['num_parts']}")
             start_iter = man["iteration"]
             parts = ray.get([w.pr_load.remote(checkpoint_dir, start_iter)
                              for w in W])

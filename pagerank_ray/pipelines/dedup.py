@@ -367,34 +367,42 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
         d = pc.cast(t.column("doc_id"), pa.string())
         return pa.table({"src": d, "dst": d})
 
+    import shutil
+
     loops = ds.map_batches(selfloop, batch_format="pyarrow",
                            zero_copy_batch=True)
     gdir = tempfile.mkdtemp(prefix="dedup_cc_")
-    build_graph(loops.union(pair_edges), gdir, num_parts=num_parts,
-                undirected=True)
-    # workers write their label shards straight to parquet — the
-    # driver never holds the n-docs label table (graph/sink.py)
     labels_dir = tempfile.mkdtemp(prefix="dedup_cc_labels_")
-    connected_components(gdir, out_dir=labels_dir)
+    try:
+        build_graph(loops.union(pair_edges), gdir, num_parts=num_parts,
+                    undirected=True)
+        # workers write their label shards straight to parquet — the
+        # driver never holds the n-docs label table (graph/sink.py)
+        connected_components(gdir, out_dir=labels_dir)
 
-    # canonical = numeric min doc per component, composed from
-    # Dataset ops end-to-end: groupby(label).min(doc_id) + a hash
-    # join back onto (doc_id, label). No O(n_docs) driver arrays
-    # (the round-3 version scattered into a dense np.minimum.at).
-    from ..graph.sink import read_result_dataset
+        # canonical = numeric min doc per component, composed from
+        # Dataset ops end-to-end: groupby(label).min(doc_id) + a hash
+        # join back onto (doc_id, label). No O(n_docs) driver arrays
+        # (the round-3 version scattered into a dense np.minimum.at).
+        from ..graph.sink import read_result_dataset
 
-    def project(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64())})
-        return pa.table({
-            "doc_id": pc.cast(t.column("node"), pa.int64()),
-            "label": t.column("label"),
-        })
+        def project(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pc.cast(t.column("node"), pa.int64()),
+                "label": t.column("label"),
+            })
 
-    doc_labels = read_result_dataset(labels_dir).map_batches(
-        project, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+        doc_labels = read_result_dataset(labels_dir).map_batches(
+            project, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    finally:
+        # both scratch dirs hold O(n_docs) data — clean up once the
+        # label table is materialized in the object store
+        shutil.rmtree(gdir, ignore_errors=True)
+        shutil.rmtree(labels_dir, ignore_errors=True)
 
     canon = (doc_labels.groupby("label").min("doc_id")
              .map_batches(

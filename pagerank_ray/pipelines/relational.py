@@ -810,16 +810,17 @@ def outlier_events(sf_dir: str, q: float = 0.9):
     comparison is float-exact across engines.
     """
     thr = quantiles_per_type(sf_dir, qs=(q,))
-    tref = ray.put((thr.column("event_type").to_pylist(),
-                    thr.column("value").to_numpy()))
+    # broadcast READY-TO-USE arrays (Arrow value_set + numpy cuts) so
+    # the per-batch filter does zero list->Arrow conversion
+    tref = ray.put((thr.column("event_type").combine_chunks(),
+                    np.asarray(thr.column("value").to_numpy(),
+                               np.float64)))
 
     # stateless tasks: the broadcast thresholds are a zero-copy
     # plasma get per batch — no actor-pool spin-up for a lookup ref
     def flt(t: pa.Table, *, tref) -> pa.Table:
         types, vals = ray.get(tref) if isinstance(
             tref, ray.ObjectRef) else tref
-        types = pa.array(types, pa.string())
-        vals = np.asarray(vals, np.float64)
         pos = pc.index_in(t.column("event_type"),
                           value_set=types).to_numpy(
                               zero_copy_only=False)

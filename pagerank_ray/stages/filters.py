@@ -64,7 +64,11 @@ def heavy_targets(edges_ds, filter_ratio: float, num_nodes: int,
 
     def pick_heavy(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"dst": pa.array([], pa.string())})
+            # type the empty block from its own schema when it has one
+            # (string fallback only for schema-less join/groupby blocks)
+            typ = t.schema.field("dst").type \
+                if "dst" in t.column_names else pa.string()
+            return pa.table({"dst": pa.array([], typ)})
         keep = pc.greater_equal(t.column("cnt"), threshold)
         return pa.table({"dst": t.column("dst").filter(keep)})
 
