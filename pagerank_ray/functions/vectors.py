@@ -91,6 +91,28 @@ def binary_flat(col, dtype) -> tuple[np.ndarray, np.ndarray]:
     return flat, np.diff(offs) // item
 
 
+def tagged_set_intersections(va: np.ndarray, la: np.ndarray,
+                             vb: np.ndarray, lb: np.ndarray,
+                             nr: int) -> np.ndarray:
+    """Per-row set-intersection sizes for a whole batch in ONE sort.
+
+    ``va``/``vb`` are the concatenated per-row uint32 value sets (in
+    row order, DISTINCT within each row — minhash shingle sets
+    guarantee this), ``la``/``lb`` the per-row element counts. Tagging
+    each value with its row id in the high 32 bits makes every
+    intersection element exactly one adjacent duplicate in the sorted
+    combined array, so intersections come from one sort + bincount —
+    no per-row Python, no np.intersect1d loop."""
+    rows = np.arange(nr, dtype=np.uint64)
+    key_a = (np.repeat(rows, la) << np.uint64(32)) | va
+    key_b = (np.repeat(rows, lb) << np.uint64(32)) | vb
+    comb = np.concatenate([key_a, key_b])
+    comb.sort(kind="stable")
+    dup = comb[1:] == comb[:-1]
+    return np.bincount((comb[:-1][dup] >> np.uint64(32))
+                       .astype(np.int64), minlength=nr)
+
+
 def binary_matrix(col, dtype=np.float64) -> np.ndarray:
     """Fixed-width packed-binary column -> (n, dim) matrix."""
     flat, lens = binary_flat(col, dtype)

@@ -38,7 +38,7 @@ import ray.data as rd
 from ..functions.hashing import (band_keys, hamming64, minhash_batch,
                                  shingle_hashes, simhash64, word_shingles)
 from ..functions.vectors import (binary_flat, binary_matrix, list_matrix,
-                                 pack_rows)
+                                 pack_rows, tagged_set_intersections)
 from ..stages.join import hash_join
 
 
@@ -287,23 +287,13 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                           "jaccard": pa.array([], pa.float64())})
         if t.num_rows == 0 or "sh_a" not in t.column_names:
             return empty
-        # Fully vectorized set intersections: the shingle hashes are
-        # 32-bit and DISTINCT within a row, so tagging each value with
-        # its row id in the high 32 bits makes every intersection
-        # element exactly one duplicate in ONE sorted combined array —
-        # intersections for the whole batch come from a single sort +
-        # bincount, no per-row Arrow->Python conversion.
+        # Fully vectorized set intersections (see
+        # vectors.tagged_set_intersections): whole-batch intersections
+        # from one sort + bincount, no per-row Arrow->Python conversion
         va, la = binary_flat(t.column("sh_a"), np.uint32)
         vb, lb = binary_flat(t.column("sh_b"), np.uint32)
         nr = t.num_rows
-        rows = np.arange(nr, dtype=np.uint64)
-        key_a = (np.repeat(rows, la) << np.uint64(32)) | va
-        key_b = (np.repeat(rows, lb) << np.uint64(32)) | vb
-        comb = np.concatenate([key_a, key_b])
-        comb.sort(kind="stable")
-        dup = comb[1:] == comb[:-1]
-        inter = np.bincount((comb[:-1][dup] >> np.uint64(32))
-                            .astype(np.int64), minlength=nr)
+        inter = tagged_set_intersections(va, la, vb, lb, nr)
         union = la + lb - inter
         jac = np.where(union > 0,
                        inter / np.maximum(union, 1), 0.0)

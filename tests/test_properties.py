@@ -111,3 +111,31 @@ def test_mulmod_m61_full_width_vs_fast_path(a, h, b):
                         * np.uint64(h))
         fast = int(_m61_reduce(t + np.uint64(b) % MERSENNE61)[0])
         assert fast % M == (a * h + b) % M
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.sets(st.integers(0, 2**32 - 1), max_size=40),
+        st.sets(st.integers(0, 2**32 - 1), max_size=40)),
+    min_size=0, max_size=12))
+def test_tagged_set_intersections_matches_intersect1d(rows):
+    """The one-sort batch intersection equals per-row np.intersect1d
+    for arbitrary distinct uint32 sets (incl. empty sets/batches)."""
+    import numpy as np
+
+    from pagerank_ray.functions.vectors import tagged_set_intersections
+
+    sets_a = [np.sort(np.fromiter(a, np.uint32, len(a))) for a, _ in rows]
+    sets_b = [np.sort(np.fromiter(b, np.uint32, len(b))) for _, b in rows]
+    va = np.concatenate(sets_a) if sets_a else np.empty(0, np.uint32)
+    vb = np.concatenate(sets_b) if sets_b else np.empty(0, np.uint32)
+    la = np.array([len(x) for x in sets_a], np.int64)
+    lb = np.array([len(x) for x in sets_b], np.int64)
+    got = tagged_set_intersections(va, la, vb, lb, len(rows))
+    want = np.array([len(np.intersect1d(x, y, assume_unique=True))
+                     for x, y in zip(sets_a, sets_b)], np.int64)
+    assert np.array_equal(got, want)
