@@ -353,6 +353,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "root": pa.array(roots.astype(object), pa.string()),
         })
 
+    def q_bfs_events(sf_dir):
+        """BFS hop distances over the undirected events graph from the
+        lexicographically-smallest node (= id 0: build_graph assigns
+        dense ids in sorted-name order). Engine extension beyond the
+        reference set — min-plus label propagation on the CC exchange
+        (graph/bfs.py); only reached nodes are returned."""
+        _quiet()
+        from pagerank_ray.graph.bfs import bfs_distances
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = bfs_distances(gdir, seed_ids=[0])
+        return pa.table({"node": t.column("node"),
+                         "dist": t.column("dist")})
+
     def q_label_propagation_events(sf_dir):
         _quiet()
         from pagerank_ray.graph.labelprop import label_propagation
@@ -668,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank_events": q_personalized_pagerank_events,
         "search_events": q_search_events,
         "connected_components_events": q_connected_components_events,
+        "bfs_events": q_bfs_events,
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "token_counts": q_token_counts,
@@ -1081,6 +1095,23 @@ def oracle_sql() -> dict[str, str]:
                      FROM r JOIN und ON und.u = r.node
                  )
             SELECT node, min(lab) AS root FROM r GROUP BY node
+        """,
+
+        "bfs_events": f"""
+            WITH RECURSIVE
+                 und AS (SELECT src AS u, dst AS v FROM ({_EDGES})
+                         UNION
+                         SELECT dst AS u, src AS v FROM ({_EDGES})),
+                 nodes AS (SELECT DISTINCT u AS node FROM und),
+                 seed AS (SELECT MIN(node) AS s FROM nodes),
+                 walk(node, dist) AS (
+                     SELECT s, CAST(0 AS BIGINT) FROM seed
+                     UNION
+                     SELECT und.v AS node, walk.dist + 1
+                     FROM walk JOIN und ON und.u = walk.node
+                     WHERE walk.dist < (SELECT COUNT(*) FROM nodes)
+                 )
+            SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
         """,
 
         "triangles_events": f"""

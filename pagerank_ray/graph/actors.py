@@ -153,6 +153,9 @@ class GraphWorker:
         self.alpha = 0.85
         self._concat_buf = None
         self._int_buf = None
+        # label-message increment: 0 = CC (hash-min), 1 = BFS
+        # (min-plus hop distances) — same exchange, same combiner
+        self._msg_incr = np.int64(0)
 
     def ping(self) -> list[int]:
         return self.shard_ids
@@ -337,6 +340,7 @@ class GraphWorker:
     # -------- Connected components: hash-min, delta frontier ---------
 
     def cc_init(self) -> int:
+        self._msg_incr = np.int64(0)
         for sh in self.shards:
             sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
                 + sh.part
@@ -344,6 +348,26 @@ class GraphWorker:
         # dense exchange buffer allocated lazily in cc_step1 (sparse
         # rounds never need it)
         return sum(sh.n_local for sh in self.shards)
+
+    def bfs_init(self, seed_ids) -> int:
+        """Min-plus hop distances: labels start at the INF sentinel n
+        (the same value the exchange's dense buffer uses for "no
+        message" — a real distance can never reach n, so the collision
+        is unreachable), seeds at 0; messages are dist+1, min-combined
+        by the unchanged CC steps; the frontier starts as the seed set
+        (INF nodes never emit)."""
+        self._msg_incr = np.int64(1)
+        seeds = np.asarray(seed_ids, dtype=np.int64)
+        found = 0
+        for sh in self.shards:
+            sh.labels = np.full(sh.n_local, np.int64(self.n))
+            mine = seeds[seeds % self.P == sh.part] // self.P
+            mine = mine[mine < sh.n_local]
+            sh.labels[mine] = 0
+            sh.active = np.zeros(sh.n_local, dtype=bool)
+            sh.active[mine] = True
+            found += len(mine)
+        return found
 
     def cc_step1(self):
         """Min-label messages from each shard's frontier.
@@ -359,7 +383,7 @@ class GraphWorker:
             sel = sh.frontier_edges()
             if len(sel) == 0:
                 continue
-            labs.append(sh.labels[sh.src_local[sel]])
+            labs.append(sh.labels[sh.src_local[sel]] + self._msg_incr)
             tgts.append(sh.offs[sh.dst_part[sel]] + sh.dst_local[sel])
         if not tgts:
             return ("sparse", np.empty(0, np.int64),
@@ -572,7 +596,8 @@ class GraphWorker:
     # sink, keyed on SHARDS (not workers), so a rerun on a different
     # cluster size still skips finished partitions.
 
-    _RESULT_ATTR = {"rank": "x_prev", "label": "labels"}
+    _RESULT_ATTR = {"rank": "x_prev", "label": "labels",
+                    "dist": "labels"}
 
     def result_hashes(self, kind: str) -> list[tuple[int, str]]:
         """(part, sha256 of the shard's NAMES + result values) per

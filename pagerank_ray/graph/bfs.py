@@ -1,0 +1,146 @@
+"""BFS hop distances from a seed set (min-plus label propagation).
+
+An engine EXTENSION beyond the reference's operator set (the
+north-star "link-graph analytics engine" family next to PageRank /
+CC / LPA / triangles): unweighted shortest hop counts from one or
+more seed nodes, directed or undirected by whichever graph layout it
+is pointed at.
+
+Implementation rides the connected-components machinery unchanged —
+the exchange is the same min-combined (target, value) message round
+with delta-frontier activation; the only differences are the initial
+state (INF everywhere, 0 at the seeds, frontier = seed set) and the
+message value (dist+1 instead of the label, ``GraphWorker._msg_incr``).
+Min-plus is idempotent and commutative, so results are exact and
+independent of partitioning, worker count and exchange mode, and a
+checkpointed run resumes to identical distances.
+
+INF sentinel: unreached nodes hold n (also the exchange buffer's
+"no message" fill — a real hop distance can never reach n in an
+n-node graph, so the collision is unreachable). Collected output
+drops INF rows (only reached nodes are returned).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from . import build as gb
+from .actors import create_workers, kill_workers
+from .components import collect_labels, load_labels_manifest
+
+
+def resolve_seed_ids(graph_dir: str, seed_nodes) -> np.ndarray:
+    """Node names -> dense ids via the partitioned dictionary (small
+    driver-side lookup — the seed set is a handful of rows)."""
+    nodes = gb.load_nodes(graph_dir)
+    want = pa.array([str(s) for s in seed_nodes], pa.string())
+    mask = pc.is_in(nodes.column("node"), value_set=want)
+    ids = nodes.column("id").filter(mask).to_numpy()
+    if len(ids) != len(set(map(str, seed_nodes))):
+        found = set(nodes.column("node").filter(mask).to_pylist())
+        missing = sorted(set(map(str, seed_nodes)) - found)
+        raise ValueError(f"seed nodes not in graph: {missing}")
+    return ids
+
+
+def bfs_distances(graph_dir: str, seed_nodes=None,
+                  seed_ids=None, max_rounds: int = 10_000,
+                  workers=None, num_workers: int | None = None,
+                  exchange: str = "auto",
+                  out_dir: str | None = None,
+                  checkpoint_dir: str | None = None,
+                  checkpoint_every: int = 0,
+                  resume: bool = False,
+                  stop_after: int | None = None
+                  ) -> pa.Table | dict | None:
+    """Hop distances from the seed set; returns (id, node, dist)
+    sorted by id, REACHED nodes only. Same out_dir / checkpoint /
+    stop_after contracts as connected_components."""
+    if (seed_nodes is None) == (seed_ids is None):
+        raise ValueError("pass exactly one of seed_nodes / seed_ids")
+    meta = gb.read_meta(graph_dir)
+    if seed_ids is None:
+        seed_ids = resolve_seed_ids(graph_dir, seed_nodes)
+    seed_ids = np.asarray(seed_ids, dtype=np.int64)
+
+    own = workers is None
+    W = workers or create_workers(graph_dir, meta,
+                                  num_workers=num_workers)[0]
+    A = len(W)
+    if exchange == "auto":
+        exchange = "split" if meta["n"] > 32_000_000 else "concat"
+
+    def checkpoint(rnd: int, converged: bool) -> None:
+        ray.get([w.labels_save.remote(checkpoint_dir, rnd) for w in W])
+        gb._atomic_write_json(
+            os.path.join(checkpoint_dir, "manifest.json"),
+            {"algorithm": "bfs", "round": rnd, "converged": converged,
+             "num_parts": meta["num_parts"],
+             "seed_ids": sorted(seed_ids.tolist())})
+
+    try:
+        found = sum(ray.get([w.bfs_init.remote(seed_ids) for w in W]))
+        assert found == len(set(seed_ids.tolist())), \
+            "seed ids out of range for this graph"
+        rnd = 0
+        if resume:
+            man = load_labels_manifest(checkpoint_dir)
+            if man.get("algorithm") != "bfs" or \
+                    man.get("num_parts") != meta["num_parts"] or \
+                    man.get("seed_ids") != sorted(seed_ids.tolist()):
+                raise ValueError(
+                    f"checkpoint mismatch: manifest is "
+                    f"{man.get('algorithm')!r}/{man.get('num_parts')}"
+                    f"/seeds={man.get('seed_ids')}, this run is "
+                    f"bfs/{meta['num_parts']}"
+                    f"/seeds={sorted(seed_ids.tolist())}")
+            rnd = man["round"]
+            ray.get([w.labels_load.remote(checkpoint_dir, rnd)
+                     for w in W])
+        done_this_call = 0
+        converged = False
+        for _ in range(max_rounds):
+            if stop_after is not None and done_this_call >= stop_after:
+                if checkpoint_dir:
+                    checkpoint(rnd, converged=False)
+                return None
+            if exchange == "split":
+                step1 = ray.get([w.cc_step1_split.remote() for w in W])
+                changed = ray.get([
+                    W[k].cc_step2_split.remote(
+                        [step1[j][k] for j in range(A)])
+                    for k in range(A)])
+            else:
+                refs = [w.cc_step1.remote() for w in W]
+                changed = ray.get([w.cc_step2.remote(refs) for w in W])
+            rnd += 1
+            done_this_call += 1
+            if sum(changed) == 0:
+                converged = True
+                break
+            if checkpoint_dir and checkpoint_every and \
+                    rnd % checkpoint_every == 0:
+                checkpoint(rnd, converged=False)
+        if checkpoint_dir and converged:
+            checkpoint(rnd, converged=True)
+        if out_dir is not None:
+            from .sink import write_result_distributed
+            return write_result_distributed(W, out_dir, "dist")
+        t = collect_labels(W)
+        dist = t.column("label")
+        reached = pc.less(dist, pa.scalar(int(meta["n"]), pa.int64()))
+        return pa.table({
+            "id": t.column("id").filter(reached),
+            "node": t.column("node").filter(reached),
+            "dist": dist.filter(reached),
+        })
+    finally:
+        if own:
+            kill_workers(W)

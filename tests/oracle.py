@@ -174,3 +174,25 @@ def triangles_oracle(edges):
                 for v in t:
                     tri[v] += 1
     return tri
+
+
+def bfs_oracle(edges, seeds, undirected=True):
+    """Plain-python BFS hop distances from ``seeds`` (node names).
+    Returns dict node -> dist for REACHED nodes only."""
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set())
+        if undirected:
+            adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist

@@ -329,3 +329,66 @@ def test_lpa_checkpoint_resume_exact(tmp_path):
     got = label_propagation(gdir, rounds=10, checkpoint_dir=ckpt,
                             resume=True)
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_bfs_distances_exact(tmp_path):
+    """BFS hop distances == plain-python BFS; unreached components
+    excluded; seed resolution by name."""
+    from pagerank_ray.graph.bfs import bfs_distances
+
+    from .oracle import bfs_oracle
+
+    edges, n_comp = component_fixture_edges()
+    assert n_comp > 1           # unreached nodes exist
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    seed = min(edges.column("src").to_pylist())
+    res = bfs_distances(gdir, seed_nodes=[seed])
+    got = {r["node"]: r["dist"] for r in res.to_pylist()}
+    want = bfs_oracle(_pairs(edges), [seed])
+    assert got == want
+    # a node outside the seed's component is absent
+    all_nodes = {u for e in _pairs(edges) for u in e}
+    assert set(got) < all_nodes
+
+
+def test_bfs_directed_and_split_exchange(tmp_path):
+    """Directed distances differ from undirected where edges only
+    point away; split exchange returns identical distances."""
+    from pagerank_ray.graph.bfs import bfs_distances
+
+    from .oracle import bfs_oracle
+
+    edges = small_graph_edges()
+    gdir = str(tmp_path / "gd")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=3)  # directed
+    seed = min(edges.column("src").to_pylist())
+    res = bfs_distances(gdir, seed_nodes=[seed])
+    got = {r["node"]: r["dist"] for r in res.to_pylist()}
+    assert got == bfs_oracle(_pairs(edges), [seed], undirected=False)
+    b = bfs_distances(gdir, seed_nodes=[seed], exchange="split")
+    assert b.to_pylist() == res.to_pylist()
+
+
+def test_bfs_checkpoint_resume_exact(tmp_path):
+    from pagerank_ray.graph.bfs import bfs_distances
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    seed = min(edges.column("src").to_pylist())
+    want = bfs_distances(gdir, seed_nodes=[seed])
+    ckpt = str(tmp_path / "ckpt")
+    assert bfs_distances(gdir, seed_nodes=[seed], checkpoint_dir=ckpt,
+                         stop_after=1) is None
+    got = bfs_distances(gdir, seed_nodes=[seed], checkpoint_dir=ckpt,
+                        resume=True)
+    assert got.to_pylist() == want.to_pylist()
+    # a mismatched seed set refuses to resume
+    import pytest as _pytest
+    other = sorted({u for e in _pairs(edges) for u in e})[-1]
+    with _pytest.raises(ValueError, match="checkpoint mismatch"):
+        bfs_distances(gdir, seed_nodes=[other], checkpoint_dir=ckpt,
+                      resume=True)
