@@ -366,6 +366,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"node": t.column("node"),
                          "dist": t.column("dist")})
 
+    def q_kcore_events(sf_dir):
+        """2-core membership of the undirected events graph (engine
+        extension: distributed peeling, graph/kcore.py). Returns
+        (node, core_deg) for members — core_deg counts surviving
+        neighbors on the symmetrized MULTIgraph (duplicates and
+        self-loop double-counting included, matching the oracle's
+        UNION ALL symmetrization)."""
+        _quiet()
+        from pagerank_ray.graph.kcore import kcore_members
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = kcore_members(gdir, k=2)
+        return pa.table({"node": t.column("node"),
+                         "core_deg": t.column("core_deg")})
+
     def q_label_propagation_events(sf_dir):
         _quiet()
         from pagerank_ray.graph.labelprop import label_propagation
@@ -682,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_events": q_search_events,
         "connected_components_events": q_connected_components_events,
         "bfs_events": q_bfs_events,
+        "kcore_events": q_kcore_events,
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "token_counts": q_token_counts,
@@ -853,6 +868,38 @@ _SIMHASH_SQL = r"""
               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
     SELECT a, b, hamming FROM pairs WHERE hamming <= 3
 """
+
+
+def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
+    """k-core as ``rounds`` UNROLLED peeling steps (degree within the
+    previous round's survivor set, filter >= k). Peeling reaches its
+    fixpoint monotonically, so any rounds >= the actual peel depth
+    yields the exact k-core — extra rounds are no-ops (same trick as
+    _lpa_sql for avoiding the recursive-aggregate restriction).
+    UNION ALL symmetrization keeps duplicate edges and double-counts
+    self-loops, matching the engine's shard-local degree convention."""
+    # AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, and
+    # each round references the previous one twice -> exponential plan
+    # expansion (and one parquet re-scan per expansion of und)
+    parts = [
+        f"und AS MATERIALIZED (SELECT src AS u, dst AS v FROM "
+        f"({_EDGES}) UNION ALL SELECT dst AS u, src AS v FROM "
+        f"({_EDGES}))",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT e.u AS node, COUNT(*) AS "
+            f"deg FROM und e JOIN a{i - 1} x ON x.node = e.u "
+            f"JOIN a{i - 1} y ON y.node = e.v GROUP BY e.u)")
+        parts.append(
+            f"a{i} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE deg >= {k})")
+    final = (f"SELECT e.u AS node, COUNT(*) AS core_deg FROM und e "
+             f"JOIN a{rounds} x ON x.node = e.u "
+             f"JOIN a{rounds} y ON y.node = e.v "
+             f"GROUP BY e.u HAVING COUNT(*) >= {k}")
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def _lpa_sql(rounds: int = 10) -> str:
@@ -1076,6 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "label_propagation_events": _lpa_sql(10),
+
+        "kcore_events": _kcore_sql(2, 20),
 
         # hll: splitmix64 + register max + estimate formula replayed
         # in mod-2^64 HUGEINT arithmetic — deterministic, so the

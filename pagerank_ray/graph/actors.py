@@ -480,6 +480,70 @@ class GraphWorker:
             changed_total += int(changed.sum())
         return changed_total
 
+    # ---------------- k-core peeling (sum-combined removals) ---------
+    #
+    # labels = CURRENT degree within the surviving set (the shard-local
+    # out-degree of the symmetrized graph IS the node degree); active =
+    # the nodes removed THIS round (the message frontier). Each round
+    # every just-removed node sends one decrement per incident edge;
+    # receivers subtract and compute the next removal set. Sum-combine
+    # (np.add.at / +) replaces CC's min; the frontier/exchange layout
+    # is otherwise identical.
+
+    def kcore_init(self, k: int) -> int:
+        self._kcore_k = int(k)
+        removed = 0
+        for sh in self.shards:
+            sh.labels = sh.outdeg.astype(np.int64)
+            sh._alive = np.ones(sh.n_local, dtype=bool)
+            first = sh.labels < self._kcore_k
+            sh.active = first          # removal frontier for step1
+            removed += int(first.sum())
+        return removed
+
+    def kc_step1(self):
+        """Decrement messages from this round's removal frontier:
+        sorted (tgt, count) pairs summed per target. Marks the
+        frontier dead before emitting (each node sends exactly once)."""
+        tgts = []
+        for sh in self.shards:
+            sel = sh.frontier_edges() if sh.active is not None and \
+                sh.active.any() else np.empty(0, np.int64)
+            if len(sel):
+                tgts.append(sh.offs[sh.dst_part[sel]]
+                            + sh.dst_local[sel])
+            if sh.active is not None:
+                sh._alive &= ~sh.active
+                sh.active = None
+        if not tgts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        tgt, cnt = np.unique(np.concatenate(tgts), return_counts=True)
+        return tgt, cnt.astype(np.int64)
+
+    def kc_step2(self, partial_refs) -> int:
+        pairs = ray.get(list(partial_refs)) if partial_refs and \
+            isinstance(partial_refs[0], ray.ObjectRef) else partial_refs
+        removed_total = 0
+        for sh in self.shards:
+            lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
+            dec = np.zeros(sh.n_local, dtype=np.int64)
+            for tgt, cnt in pairs:
+                i0 = np.searchsorted(tgt, lo)
+                i1 = np.searchsorted(tgt, hi)
+                np.add.at(dec, tgt[i0:i1] - lo, cnt[i0:i1])
+            sh.labels -= dec
+            nxt = sh._alive & (sh.labels < self._kcore_k)
+            sh.active = nxt            # next round's removal frontier
+            removed_total += int(nxt.sum())
+        return removed_total
+
+    def kcore_finalize(self) -> None:
+        """labels := degree-within-core for members, -1 for removed —
+        the collect/get_labels/result-sink paths then apply as-is."""
+        for sh in self.shards:
+            sh.labels = np.where(sh._alive, sh.labels, np.int64(-1))
+            sh.active = None
+
     # ------------- Community label propagation (synchronous) ---------
 
     def lpa_init(self) -> int:

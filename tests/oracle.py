@@ -196,3 +196,31 @@ def bfs_oracle(edges, seeds, undirected=True):
                 dist[v] = dist[u] + 1
                 q.append(v)
     return dist
+
+
+def kcore_oracle(edges, k):
+    """Iterative k-core peeling on the symmetrized MULTIgraph
+    (duplicate edges count; a self-loop adds 2 to its node's degree —
+    the engine's shard-local out-degree convention). Returns dict
+    node -> degree-within-core for members."""
+    from collections import Counter, defaultdict
+
+    deg = Counter()
+    adj = defaultdict(Counter)
+    for s, d in edges:
+        deg[s] += 1
+        deg[d] += 1
+        adj[s][d] += 1
+        adj[d][s] += 1
+    alive = set(deg)
+    frontier = {u for u in alive if deg[u] < k}
+    while frontier:
+        alive -= frontier
+        dec = Counter()
+        for u in frontier:
+            for v, m in adj[u].items():
+                dec[v] += m
+        for v, c in dec.items():
+            deg[v] -= c
+        frontier = {u for u in alive if deg[u] < k}
+    return {u: deg[u] for u in alive}

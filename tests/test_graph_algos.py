@@ -392,3 +392,49 @@ def test_bfs_checkpoint_resume_exact(tmp_path):
     with _pytest.raises(ValueError, match="checkpoint mismatch"):
         bfs_distances(gdir, seed_nodes=[other], checkpoint_dir=ckpt,
                       resume=True)
+
+
+def test_kcore_exact_vs_peeling_oracle(tmp_path):
+    from pagerank_ray.graph.kcore import kcore_members
+
+    from .oracle import kcore_oracle
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    for k in (1, 2, 3, 4):
+        res = kcore_members(gdir, k=k)
+        got = {r["node"]: r["core_deg"] for r in res.to_pylist()}
+        assert got == kcore_oracle(_pairs(edges), k), f"k={k}"
+    # partition-count invariance
+    gdir2 = str(tmp_path / "g2")
+    build_graph(from_arrow_edges(edges), gdir2, num_parts=2,
+                undirected=True)
+    a = kcore_members(gdir, k=2).to_pylist()
+    b = kcore_members(gdir2, k=2).to_pylist()
+    assert a == b
+
+
+def test_kcore_random_multigraph(tmp_path):
+    """Random graph with duplicate edges and self-loops — the
+    multigraph degree convention must match the oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pagerank_ray.graph.kcore import kcore_members
+
+    from .oracle import kcore_oracle
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 300).astype(str)
+    dst = rng.randint(0, 30, 300).astype(str)  # self-loops likely
+    edges = pa.table({"src": pa.array(src.astype(object), pa.string()),
+                      "dst": pa.array(dst.astype(object), pa.string())})
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=3,
+                undirected=True)
+    for k in (3, 10, 25):
+        res = kcore_members(gdir, k=k)
+        got = {r["node"]: r["core_deg"] for r in res.to_pylist()}
+        assert got == kcore_oracle(_pairs(edges), k), f"k={k}"
