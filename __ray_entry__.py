@@ -397,6 +397,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.graph.triangles import triangle_counts
         return triangle_counts(edges_from_events(sf_dir))
 
+    def q_clustering_events(sf_dir):
+        """Local clustering coefficient per node — a COMPOSITION of
+        the existing operators (per-vertex triangles ÷ simple-graph
+        degree pairs), emitted as exact integers for cross-engine
+        hash parity: coeff_ppm = (2e6 · tri) // (deg·(deg−1)), deg≥2
+        (floor division in int64 on both engines — no float rounding
+        boundary to straddle). Degrees count DISTINCT neighbors on
+        the canonicalized simple graph (self-loops dropped), the same
+        convention the triangle counter uses."""
+        _quiet()
+        import numpy as np
+
+        from pagerank_ray.graph.triangles import triangle_counts
+        from pagerank_ray.stages.aggregate import grouped_count
+
+        edges = edges_from_events(sf_dir).materialize()
+        tri = triangle_counts(edges)          # (node, tri_count), all
+
+        def canon(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"u": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.string())})
+            u, v = t.column("src"), t.column("dst")
+            lt = pc.less(u, v)
+            keep = pc.invert(pc.equal(u, v))
+            return pa.table({"u": pc.if_else(lt, u, v).filter(keep),
+                             "v": pc.if_else(lt, v, u).filter(keep)})
+
+        pairs = (edges.map_batches(canon, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .groupby(["u", "v"]).count())   # distinct pairs
+
+        def endpoints(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "u" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.string())})
+            return pa.table({"node": pa.concat_arrays(
+                [t.column("u").combine_chunks(),
+                 t.column("v").combine_chunks()])})
+
+        deg_tbl = grouped_count(
+            pairs.map_batches(endpoints, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "node", alias="deg").to_pandas()
+
+        nodes = tri.column("node").to_pylist()
+        tric = tri.column("tri_count").to_numpy()
+        dmap = dict(zip(deg_tbl["node"], deg_tbl["deg"]))
+        deg = np.array([dmap.get(n, 0) for n in nodes], np.int64)
+        ppm = np.zeros(len(nodes), np.int64)
+        m = deg >= 2
+        ppm[m] = (2_000_000 * tric[m]) // (deg[m] * (deg[m] - 1))
+        return pa.table({
+            "node": tri.column("node"),
+            "deg": pa.array(deg),
+            "tri_count": tri.column("tri_count"),
+            "coeff_ppm": pa.array(ppm),
+        })
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -699,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_events": q_kcore_events,
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
+        "clustering_events": q_clustering_events,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_counts": q_quality_counts,
@@ -1181,6 +1240,38 @@ def oracle_sql() -> dict[str, str]:
                          GROUP BY node)
             SELECT nodes.node, COALESCE(cnt.c, 0) AS tri_count
             FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+        """,
+
+        "clustering_events": f"""
+            WITH e0 AS ({_EDGES}),
+                 nodes AS (SELECT src AS node FROM e0
+                           UNION SELECT dst FROM e0),
+                 e AS (SELECT DISTINCT least(src, dst) AS u,
+                              greatest(src, dst) AS v
+                       FROM e0 WHERE src <> dst),
+                 tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                         FROM e a
+                         JOIN e b ON b.u = a.v
+                         JOIN e c ON c.u = a.u AND c.v = b.v),
+                 verts AS (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri),
+                 cnt AS (SELECT node, COUNT(*) AS c FROM verts
+                         GROUP BY node),
+                 deg AS (SELECT node, COUNT(*) AS d
+                         FROM (SELECT u AS node FROM e
+                               UNION ALL SELECT v FROM e)
+                         GROUP BY node)
+            SELECT nodes.node,
+                   COALESCE(deg.d, 0) AS deg,
+                   COALESCE(cnt.c, 0) AS tri_count,
+                   CASE WHEN COALESCE(deg.d, 0) >= 2
+                        THEN (2000000 * COALESCE(cnt.c, 0))
+                             // (deg.d * (deg.d - 1))
+                        ELSE 0 END AS coeff_ppm
+            FROM nodes
+            LEFT JOIN deg ON deg.node = nodes.node
+            LEFT JOIN cnt ON cnt.node = nodes.node
         """,
 
         "token_counts": r"""
