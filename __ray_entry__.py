@@ -366,6 +366,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"node": t.column("node"),
                          "dist": t.column("dist")})
 
+    def q_scc_events(sf_dir):
+        """Strongly connected components of the DIRECTED events graph
+        (engine extension, graph/scc.py): pivot-min forward/backward
+        label intersection, whole-SCC-atomic per round. Returns
+        (node, root), root = lexicographically smallest member."""
+        _quiet()
+        from pagerank_ray.graph.scc import scc_labels
+        return scc_labels(edges_from_events(sf_dir), num_parts=4)
+
     def q_kcore_events(sf_dir):
         """2-core membership of the undirected events graph (engine
         extension: distributed peeling, graph/kcore.py). Returns
@@ -755,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_events": q_connected_components_events,
         "bfs_events": q_bfs_events,
         "kcore_events": q_kcore_events,
+        "scc_events": q_scc_events,
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "clustering_events": q_clustering_events,
@@ -1184,6 +1194,23 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_events": _lpa_sql(10),
 
         "kcore_events": _kcore_sql(2, 20),
+
+        "scc_events": f"""
+            WITH RECURSIVE
+                 e0 AS MATERIALIZED ({_EDGES}),
+                 nodes AS (SELECT DISTINCT src AS node FROM e0
+                           UNION SELECT DISTINCT dst FROM e0),
+                 reach(u, v) AS (
+                     SELECT node, node FROM nodes
+                     UNION
+                     SELECT r.u, e.dst FROM reach r
+                     JOIN e0 e ON e.src = r.v
+                 )
+            SELECT r1.u AS node, MIN(r1.v) AS root
+            FROM reach r1 JOIN reach r2
+              ON r2.u = r1.v AND r2.v = r1.u
+            GROUP BY r1.u
+        """,
 
         # hll: splitmix64 + register max + estimate formula replayed
         # in mod-2^64 HUGEINT arithmetic — deterministic, so the

@@ -40,7 +40,8 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
                          checkpoint_dir: str | None = None,
                          checkpoint_every: int = 0,
                          resume: bool = False,
-                         stop_after: int | None = None
+                         stop_after: int | None = None,
+                         allow_directed: bool = False
                          ) -> pa.Table | dict | None:
     """Returns (id, node, label) sorted by id; label = min id in component.
 
@@ -67,8 +68,12 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     the same labels.
     """
     meta = gb.read_meta(graph_dir)
-    assert meta.get("undirected"), \
+    assert meta.get("undirected") or allow_directed, \
         "connected_components requires a graph built with undirected=True"
+    # (allow_directed=True turns this into DIRECTED min-label
+    # propagation — label(v) = min id over ancestors-and-self — the
+    # building block the SCC driver runs on the forward and reversed
+    # graphs; on an undirected graph both coincide with hash-min CC.)
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]

@@ -224,3 +224,55 @@ def kcore_oracle(edges, k):
             deg[v] -= c
         frontier = {u for u in alive if deg[u] < k}
     return {u: deg[u] for u in alive}
+
+
+def scc_oracle(edges):
+    """Iterative Kosaraju SCC. Returns dict node -> root where root is
+    the lexicographically smallest member NAME (matching the engine's
+    sorted-name id assignment)."""
+    from collections import defaultdict
+
+    nodes = sorted({u for e in edges for u in e})
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        radj[d].append(s)
+
+    seen, order = set(), []
+    for start in nodes:
+        if start in seen:
+            continue
+        stack = [(start, iter(adj[start]))]
+        seen.add(start)
+        while stack:
+            u, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append((v, iter(adj[v])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(u)
+                stack.pop()
+
+    root = {}
+    for start in reversed(order):
+        if start in root:
+            continue
+        members = []
+        stack = [start]
+        root[start] = start
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in radj[u]:
+                if v not in root:
+                    root[v] = start
+                    stack.append(v)
+        m = min(members)
+        for u in members:
+            root[u] = m
+    return root

@@ -438,3 +438,46 @@ def test_kcore_random_multigraph(tmp_path):
         res = kcore_members(gdir, k=k)
         got = {r["node"]: r["core_deg"] for r in res.to_pylist()}
         assert got == kcore_oracle(_pairs(edges), k), f"k={k}"
+
+
+def test_scc_exact_random_directed():
+    import numpy as np
+    import pyarrow as pa
+
+    from pagerank_ray.graph.scc import scc_labels
+
+    from .oracle import scc_oracle
+
+    rng = np.random.RandomState(13)
+    src = rng.randint(0, 40, 200).astype(str)
+    dst = rng.randint(0, 40, 200).astype(str)
+    edges = pa.table({"src": pa.array(src.astype(object), pa.string()),
+                      "dst": pa.array(dst.astype(object), pa.string())})
+    res = scc_labels(edges, num_parts=3)
+    got = {r["node"]: r["root"] for r in res.to_pylist()}
+    assert got == scc_oracle(_pairs(edges))
+
+
+def test_scc_chain_of_cycles():
+    """Two 3-cycles joined by one directed bridge + a tail: three
+    multi-node levels forces multiple pivot-min rounds."""
+    import pyarrow as pa
+
+    from pagerank_ray.graph.scc import scc_labels
+
+    from .oracle import scc_oracle
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),      # cycle 1
+             ("c", "x"),                              # bridge
+             ("x", "y"), ("y", "z"), ("z", "x"),      # cycle 2
+             ("z", "t")]                              # tail singleton
+    edges = pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string())})
+    res = scc_labels(edges, num_parts=2)
+    got = {r["node"]: r["root"] for r in res.to_pylist()}
+    want = scc_oracle(pairs)
+    assert got == want
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    assert got["t"] == "t"
