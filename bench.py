@@ -331,6 +331,26 @@ def bench_knn_approx() -> dict:
             "rows": a.num_rows + b.num_rows}
 
 
+def bench_graph_extras() -> dict:
+    """The round-4 graph additions at 10M-edge scale on the cached
+    undirected power-law graph: BFS hop distances from id 0 and
+    8-core peeling — both frontier-proportional exchange rounds on
+    the same worker machinery as CC."""
+    from pagerank_ray.graph.bfs import bfs_distances
+    from pagerank_ray.graph.kcore import kcore_members
+
+    gdir = _ensure_powerlaw(CC_N, CC_M, 32, undirected=True)
+    t0 = time.time()
+    d = bfs_distances(gdir, seed_ids=[0])
+    bfs_sec = time.time() - t0
+    t1 = time.time()
+    kc = kcore_members(gdir, k=8)
+    return {"sec": time.time() - t0,
+            "bfs_sec": round(bfs_sec, 3),
+            "kcore_sec": round(time.time() - t1, 3),
+            "rows": d.num_rows + kc.num_rows}
+
+
 def _ensure_skewed_edges(m: int = 20_000_000) -> str:
     """Edge table with a DELIBERATE hot key: ~30% of all edges point
     at one hub (the synth corpus's "menu" pattern at adversarial
@@ -416,6 +436,7 @@ COMPONENTS = {
     "minhash_scale": bench_minhash_scale,
     "membw": bench_membw,
     "cc_scale": bench_cc_scale,
+    "graph_extras": bench_graph_extras,
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,
@@ -455,7 +476,8 @@ def run_bench() -> dict:
         for k in ("split_edges_per_sec_per_iter",
                   "split_worker_peak_rss_mb",
                   "split_worker_private_heap_mb",
-                  "lsh_sec", "ivf_sec", "naive_sec", "salted_sec"):
+                  "lsh_sec", "ivf_sec", "naive_sec", "salted_sec",
+                  "bfs_sec", "kcore_sec"):
             if k in res:
                 extra[k] = res[k]
     ray.shutdown()
