@@ -349,6 +349,33 @@ class GraphWorker:
         # rounds never need it)
         return sum(sh.n_local for sh in self.shards)
 
+    def minprop_init(self, dead_ids=None) -> int:
+        """Directed min-label propagation restricted to ALIVE
+        originators (the SCC driver's per-round building block):
+        alive nodes start with their own id, dead (already-resolved)
+        nodes start at the INF sentinel n and originate nothing — but
+        they RELAY smaller labels that reach them (the delta frontier
+        activates them on change), which is sound for SCC resolution:
+        fwd/bwd certify reachability in the ORIGINAL graph either
+        way. dead_ids=None -> plain directed min propagation."""
+        self._msg_incr = np.int64(0)
+        dead = None if dead_ids is None else \
+            np.asarray(dead_ids, dtype=np.int64)
+        total = 0
+        for sh in self.shards:
+            sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
+                + sh.part
+            sh.active = None
+            if dead is not None and len(dead):
+                mine = dead[dead % self.P == sh.part] // self.P
+                mine = mine[mine < sh.n_local]
+                sh.labels[mine] = np.int64(self.n)
+                act = np.ones(sh.n_local, dtype=bool)
+                act[mine] = False
+                sh.active = act
+            total += sh.n_local
+        return total
+
     def bfs_init(self, seed_ids) -> int:
         """Min-plus hop distances: labels start at the INF sentinel n
         (the same value the exchange's dense buffer uses for "no

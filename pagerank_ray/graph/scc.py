@@ -2,30 +2,28 @@
 forward/backward label intersection, completing the engine's classic
 graph-algorithm set (PageRank / CC / LPA / BFS / k-core / triangles).
 
-Per outer round, over the still-unresolved subgraph:
+Per outer round:
 
-  fwd(v) = min id over {v} ∪ ancestors(v)    (directed min-label
-  bwd(v) = min id over {v} ∪ descendants(v)   propagation — the CC
-                                              machinery with
-                                              allow_directed=True, on
-                                              the forward and REVERSED
-                                              edge layouts)
+  fwd(v) = min ALIVE id over {v} ∪ ancestors(v)    (directed min-label
+  bwd(v) = min ALIVE id over {v} ∪ descendants(v)   propagation on the
+                                                    forward / REVERSED
+                                                    layouts)
 
-``fwd(v) == bwd(v) == m`` certifies v ∈ SCC(m) (m reaches v and v
-reaches m). The SCC of each round's level-minimum pivots resolves in
-full (its members see no smaller outside ancestor/descendant), so
-every round strictly shrinks the residual; rounds ≤ #SCCs, and in
-practice a handful (all "level-min" SCCs resolve simultaneously).
+``fwd(v) == bwd(v) == m`` certifies v ∈ SCC(m): the labels certify
+m→v and v→m reachability in the ORIGINAL graph (already-resolved
+nodes relay but never originate — soundness is unaffected by paths
+through them, because mutual reach through anything still means one
+SCC). Resolution is SCC-atomic (fwd/bwd are constant on an SCC), and
+the SCC of each round's minimum alive id always resolves — rounds
+strictly shrink the residual, bounded by the SCC "level" depth.
 
-Scale notes: the two propagations per round are the heavy distributed
-work (actor-pinned CSR shards, delta frontier). The per-round
-residual filter broadcasts the unresolved NODE set (node-dimension,
-like the heavy-target list) — at 10^12 nodes swap it for a hash
-semi-join on the edge stream; the per-round (node, root) resolution
-tables are result-sized. Ids are assigned per round-build
-(sorted-name order on the SAME node set for fwd and rev, so ids align
-across the two layouts); output labels are node NAMES, which are
-stable across rounds, partitioning and worker count.
+Cost model: BOTH graph layouts are built ONCE and their worker pools
+persist across rounds — a round is just two delta-frontier
+min-propagations plus an O(n) driver mask update (node-dimension;
+at 10^12 nodes keep the mask worker-side and use the distributed
+label sink — the round structure is unchanged). This matters: the
+naive rebuild-per-round variant paid two graph builds + two actor
+pools per level and was ~50× slower on a 200k-edge zipf graph.
 """
 
 from __future__ import annotations
@@ -35,105 +33,111 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 from . import build as gb
-from .components import connected_components
+from .actors import create_workers, kill_workers
+from .components import collect_labels
 
 
 def _to_ds(x):
     return rd.from_arrow(x) if isinstance(x, pa.Table) else x
 
 
-def _propagate(graph_dir: str) -> pa.Table:
-    """Directed min-label propagation; (id, node, label) sorted by id."""
-    return connected_components(graph_dir, allow_directed=True)
+def _min_rounds(W, exchange: str, max_rounds: int = 1_000_000) -> None:
+    """Run min-propagation rounds (cc_step1/2) to fixpoint."""
+    A = len(W)
+    for _ in range(max_rounds):
+        if exchange == "split":
+            step1 = ray.get([w.cc_step1_split.remote() for w in W])
+            changed = ray.get([
+                W[k].cc_step2_split.remote(
+                    [step1[j][k] for j in range(A)])
+                for k in range(A)])
+        else:
+            refs = [w.cc_step1.remote() for w in W]
+            changed = ray.get([w.cc_step2.remote(refs) for w in W])
+        if sum(changed) == 0:
+            return
+    raise RuntimeError("min propagation did not converge")
 
 
 def scc_labels(edges, num_parts: int = 4,
-               max_outer: int = 10_000) -> pa.Table:
+               max_outer: int = 10_000,
+               exchange: str = "auto") -> pa.Table:
     """(node, root) per node — root = NAME of the SCC's minimum-id
     member (ids in sorted-name order, so root is the
-    lexicographically smallest member). Sorted by node."""
+    lexicographically smallest member). Sorted by node name."""
     ds = _to_ds(edges).materialize()
 
-    out_nodes: list = []
-    out_roots: list = []
-    unresolved: "np.ndarray | None" = None  # None = first round
-    rounds = 0
-    while True:
-        if rounds >= max_outer:
-            raise RuntimeError(
-                f"SCC did not resolve within {max_outer} rounds")
-        work = tempfile.mkdtemp(prefix="scc_round_")
-        try:
-            if unresolved is None:
-                round_edges = ds
-                loops = None
-            else:
-                if len(unresolved) == 0:
-                    break
-                keep_set = pa.array(unresolved, pa.string())
-                kref = ray.put(keep_set)
+    work = tempfile.mkdtemp(prefix="scc_")
+    Wf = Wr = None
+    try:
+        fdir = f"{work}/fwd"
+        rdir = f"{work}/rev"
+        meta = gb.build_graph(ds, fdir, num_parts=num_parts)
 
-                def both_alive(t: pa.Table, *, kref) -> pa.Table:
-                    ks = ray.get(kref) if isinstance(
-                        kref, ray.ObjectRef) else kref
-                    m = pc.and_(
-                        pc.is_in(t.column("src"), value_set=ks),
-                        pc.is_in(t.column("dst"), value_set=ks))
-                    return t.filter(m)
+        def swap(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t.column("dst"),
+                             "dst": t.column("src")})
 
-                round_edges = ds.map_batches(
-                    both_alive, fn_kwargs={"kref": kref},
-                    batch_format="pyarrow", zero_copy_batch=True)
-                # self-loops keep isolated unresolved nodes in the
-                # build (their SCC is the singleton {v})
-                loops = rd.from_arrow(pa.table({
-                    "src": keep_set, "dst": keep_set}))
-                round_edges = round_edges.union(loops).materialize()
+        gb.build_graph(ds.map_batches(swap, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       rdir, num_parts=num_parts)
+        n = meta["n"]
+        if exchange == "auto":
+            exchange = "split" if n > 32_000_000 else "concat"
 
-            fdir = f"{work}/fwd"
-            rdir = f"{work}/rev"
-            gb.build_graph(round_edges, fdir, num_parts=num_parts)
+        # both pools persist across rounds but never compute at the
+        # same time (fwd then bwd sequentially) — half a CPU each lets
+        # the two pools coexist on any cluster size instead of the
+        # second pool deadlocking on a fully-reserved CPU budget
+        Wf = create_workers(fdir, meta, num_cpus_per_worker=0.5)[0]
+        Wr = create_workers(rdir, gb.read_meta(rdir),
+                            num_cpus_per_worker=0.5)[0]
 
-            def swap(t: pa.Table) -> pa.Table:
-                return pa.table({"src": t.column("dst"),
-                                 "dst": t.column("src")})
-
-            gb.build_graph(
-                round_edges.map_batches(swap, batch_format="pyarrow",
-                                        zero_copy_batch=True),
-                rdir, num_parts=num_parts)
-
-            fwd = _propagate(fdir)
-            bwd = _propagate(rdir)
-            # same node set, same sorted-name id assignment -> rows
-            # align 1:1 by id across the two layouts
-            names = fwd.column("node").to_numpy(zero_copy_only=False)
+        resolved = np.zeros(n, dtype=bool)
+        roots = np.empty(n, dtype=np.int64)
+        names = None
+        rounds = 0
+        while not resolved.all():
+            if rounds >= max_outer:
+                raise RuntimeError(
+                    f"SCC did not resolve within {max_outer} rounds")
+            dead = None if rounds == 0 else \
+                ray.put(np.flatnonzero(resolved).astype(np.int64))
+            ray.get([w.minprop_init.remote(dead) for w in Wf])
+            ray.get([w.minprop_init.remote(dead) for w in Wr])
+            _min_rounds(Wf, exchange)
+            _min_rounds(Wr, exchange)
+            fwd = collect_labels(Wf)
+            bwd = collect_labels(Wr)
+            if names is None:
+                # same node set, same sorted-name id assignment ->
+                # rows align 1:1 by id across the two layouts
+                names = fwd.column("node").to_numpy(
+                    zero_copy_only=False)
             f = fwd.column("label").to_numpy()
             b = bwd.column("label").to_numpy()
-            resolved = f == b
-            if not resolved.any():
+            new = (~resolved) & (f == b) & (f < n)
+            if not new.any():
                 raise AssertionError(
-                    "pivot-min round resolved nothing — the level-min "
-                    "SCC always resolves; graph build is inconsistent")
-            out_nodes.append(names[resolved])
-            out_roots.append(names[f[resolved]])
-            unresolved = names[~resolved]
+                    "pivot-min round resolved nothing — the minimum "
+                    "alive id's SCC always resolves")
+            roots[new] = f[new]
+            resolved |= new
             rounds += 1
-            if len(unresolved) == 0:
-                break
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
 
-    nodes = np.concatenate(out_nodes)
-    roots = np.concatenate(out_roots)
-    order = np.argsort(nodes, kind="stable")
-    return pa.table({
-        "node": pa.array(nodes[order].astype(object), pa.string()),
-        "root": pa.array(roots[order].astype(object), pa.string()),
-    })
+        order = np.argsort(names, kind="stable")
+        return pa.table({
+            "node": pa.array(names[order].astype(object), pa.string()),
+            "root": pa.array(names[roots[order]].astype(object),
+                             pa.string()),
+        })
+    finally:
+        for W in (Wf, Wr):
+            if W:
+                kill_workers(W)
+        shutil.rmtree(work, ignore_errors=True)
