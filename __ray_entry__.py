@@ -385,7 +385,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         from pagerank_ray.graph.kcore import kcore_members
         gdir = _events_graph(sf_dir, undirected=True)
-        t = kcore_members(gdir, k=2)
+        t, rounds = kcore_members(gdir, k=2, return_rounds=True)
+        # the oracle unrolls a FIXED 20 peeling rounds; a deeper peel
+        # would make the (correct) oracle comparison silently stale —
+        # fail loudly here instead so the unroll gets raised
+        assert rounds <= 20, \
+            f"k-core peel depth {rounds} exceeds the oracle's " \
+            f"20-round unroll — bump _kcore_sql(2, rounds)"
         return pa.table({"node": t.column("node"),
                          "core_deg": t.column("core_deg")})
 
@@ -419,47 +425,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
 
         from pagerank_ray.graph.triangles import triangle_counts
-        from pagerank_ray.stages.aggregate import grouped_count
 
-        edges = edges_from_events(sf_dir).materialize()
-        tri = triangle_counts(edges)          # (node, tri_count), all
-
-        def canon(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"u": pa.array([], pa.string()),
-                                 "v": pa.array([], pa.string())})
-            u, v = t.column("src"), t.column("dst")
-            lt = pc.less(u, v)
-            keep = pc.invert(pc.equal(u, v))
-            return pa.table({"u": pc.if_else(lt, u, v).filter(keep),
-                             "v": pc.if_else(lt, v, u).filter(keep)})
-
-        pairs = (edges.map_batches(canon, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                 .groupby(["u", "v"]).count())   # distinct pairs
-
-        def endpoints(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "u" not in t.column_names:
-                return pa.table({"node": pa.array([], pa.string())})
-            return pa.table({"node": pa.concat_arrays(
-                [t.column("u").combine_chunks(),
-                 t.column("v").combine_chunks()])})
-
-        deg_tbl = grouped_count(
-            pairs.map_batches(endpoints, batch_format="pyarrow",
-                              zero_copy_batch=True),
-            "node", alias="deg").to_pandas()
-
-        nodes = tri.column("node").to_pylist()
+        # the degree table is a BYPRODUCT of the triangle counter's
+        # own canonicalize+dedup pass — return_degrees avoids running
+        # that heaviest pass a second time just for the denominator
+        tri, deg_tbl = triangle_counts(edges_from_events(sf_dir),
+                                       return_degrees=True)
+        # both tables are sorted by node over the same node set
+        assert tri.column("node").combine_chunks().equals(
+            deg_tbl.column("node").combine_chunks())
         tric = tri.column("tri_count").to_numpy()
-        dmap = dict(zip(deg_tbl["node"], deg_tbl["deg"]))
-        deg = np.array([dmap.get(n, 0) for n in nodes], np.int64)
-        ppm = np.zeros(len(nodes), np.int64)
+        deg = deg_tbl.column("deg").to_numpy()
+        ppm = np.zeros(len(tric), np.int64)
         m = deg >= 2
         ppm[m] = (2_000_000 * tric[m]) // (deg[m] * (deg[m] - 1))
         return pa.table({
             "node": tri.column("node"),
-            "deg": pa.array(deg),
+            "deg": pa.array(deg.astype(np.int64)),
             "tri_count": tri.column("tri_count"),
             "coeff_ppm": pa.array(ppm),
         })

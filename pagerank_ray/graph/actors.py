@@ -722,12 +722,20 @@ class GraphWorker:
                 continue
             path = os.path.join(out_dir, f"part-{sh.part:05d}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
+            ids = np.arange(sh.n_local, dtype=np.int64) * self.P \
+                + sh.part
+            names = sh.names
+            vals = getattr(sh, attr)
+            if kind == "dist":
+                # match the collect path: UNREACHED nodes (INF
+                # sentinel n) are not result rows
+                reached = vals < self.n
+                ids, names, vals = ids[reached], names[reached], \
+                    vals[reached]
             t = pa.table({
-                "id": pa.array(
-                    np.arange(sh.n_local, dtype=np.int64) * self.P
-                    + sh.part),
-                "node": pa.array(sh.names.astype(object), pa.string()),
-                kind: pa.array(getattr(sh, attr)),
+                "id": pa.array(ids),
+                "node": pa.array(names.astype(object), pa.string()),
+                kind: pa.array(vals),
             })
             pq.write_table(t, tmp)
             os.replace(tmp, path)

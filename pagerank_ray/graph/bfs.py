@@ -33,7 +33,8 @@ import ray
 
 from . import build as gb
 from .actors import create_workers, kill_workers
-from .components import collect_labels, load_labels_manifest
+from .components import (collect_labels, load_labels_manifest,
+                         min_round)
 
 
 def resolve_seed_ids(graph_dir: str, seed_nodes) -> np.ndarray:
@@ -68,12 +69,20 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
     meta = gb.read_meta(graph_dir)
     if seed_ids is None:
         seed_ids = resolve_seed_ids(graph_dir, seed_nodes)
-    seed_ids = np.asarray(seed_ids, dtype=np.int64)
+    # dedupe + bounds-check HERE: a negative id would survive the
+    # per-shard `local < n_local` filter and numpy-negative-index the
+    # wrong node silently
+    seed_ids = np.unique(np.asarray(seed_ids, dtype=np.int64))
+    if len(seed_ids) == 0:
+        raise ValueError("empty seed set")
+    if seed_ids[0] < 0 or seed_ids[-1] >= meta["n"]:
+        raise ValueError(
+            f"seed ids out of range [0, {meta['n']}): "
+            f"{seed_ids[[0, -1]].tolist()}")
 
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]
-    A = len(W)
     if exchange == "auto":
         exchange = "split" if meta["n"] > 32_000_000 else "concat"
 
@@ -87,8 +96,8 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
 
     try:
         found = sum(ray.get([w.bfs_init.remote(seed_ids) for w in W]))
-        assert found == len(set(seed_ids.tolist())), \
-            "seed ids out of range for this graph"
+        assert found == len(seed_ids), \
+            "graph shards did not cover every seed id"
         rnd = 0
         if resume:
             man = load_labels_manifest(checkpoint_dir)
@@ -111,18 +120,10 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
                 if checkpoint_dir:
                     checkpoint(rnd, converged=False)
                 return None
-            if exchange == "split":
-                step1 = ray.get([w.cc_step1_split.remote() for w in W])
-                changed = ray.get([
-                    W[k].cc_step2_split.remote(
-                        [step1[j][k] for j in range(A)])
-                    for k in range(A)])
-            else:
-                refs = [w.cc_step1.remote() for w in W]
-                changed = ray.get([w.cc_step2.remote(refs) for w in W])
+            changed = min_round(W, exchange)
             rnd += 1
             done_this_call += 1
-            if sum(changed) == 0:
+            if changed == 0:
                 converged = True
                 break
             if checkpoint_dir and checkpoint_every and \

@@ -40,8 +40,7 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
                          checkpoint_dir: str | None = None,
                          checkpoint_every: int = 0,
                          resume: bool = False,
-                         stop_after: int | None = None,
-                         allow_directed: bool = False
+                         stop_after: int | None = None
                          ) -> pa.Table | dict | None:
     """Returns (id, node, label) sorted by id; label = min id in component.
 
@@ -68,16 +67,11 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     the same labels.
     """
     meta = gb.read_meta(graph_dir)
-    assert meta.get("undirected") or allow_directed, \
+    assert meta.get("undirected"), \
         "connected_components requires a graph built with undirected=True"
-    # (allow_directed=True turns this into DIRECTED min-label
-    # propagation — label(v) = min id over ancestors-and-self — the
-    # building block the SCC driver runs on the forward and reversed
-    # graphs; on an undirected graph both coincide with hash-min CC.)
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]
-    A = len(W)
     if exchange == "auto":
         exchange = "split" if meta["n"] > 32_000_000 else "concat"
 
@@ -111,18 +105,10 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
                 if checkpoint_dir:
                     checkpoint(rnd, converged=False)
                 return None
-            if exchange == "split":
-                step1 = ray.get([w.cc_step1_split.remote() for w in W])
-                changed = ray.get([
-                    W[k].cc_step2_split.remote(
-                        [step1[j][k] for j in range(A)])
-                    for k in range(A)])
-            else:
-                refs = [w.cc_step1.remote() for w in W]
-                changed = ray.get([w.cc_step2.remote(refs) for w in W])
+            changed = min_round(W, exchange)
             rnd += 1
             done_this_call += 1
-            if sum(changed) == 0:
+            if changed == 0:
                 converged = True
                 break
             if checkpoint_dir and checkpoint_every and \
@@ -137,6 +123,23 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     finally:
         if own:
             kill_workers(W)
+
+
+def min_round(W, exchange: str) -> int:
+    """ONE min-combined label-exchange round (cc_step1/2, concat or
+    split) over worker pool ``W``; returns the changed-node count.
+    Shared by CC, BFS and the SCC propagations — the dispatch lives
+    in exactly one place."""
+    A = len(W)
+    if exchange == "split":
+        step1 = ray.get([w.cc_step1_split.remote() for w in W])
+        changed = ray.get([
+            W[k].cc_step2_split.remote([step1[j][k] for j in range(A)])
+            for k in range(A)])
+    else:
+        refs = [w.cc_step1.remote() for w in W]
+        changed = ray.get([w.cc_step2.remote(refs) for w in W])
+    return sum(changed)
 
 
 def load_labels_manifest(ckpt_dir: str) -> dict:

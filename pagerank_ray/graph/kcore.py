@@ -34,10 +34,13 @@ from .components import collect_labels
 
 def kcore_members(graph_dir: str, k: int = 2,
                   max_rounds: int = 10_000,
-                  workers=None, num_workers: int | None = None
-                  ) -> pa.Table:
+                  workers=None, num_workers: int | None = None,
+                  return_rounds: bool = False
+                  ) -> "pa.Table | tuple[pa.Table, int]":
     """Peel to convergence (raises if max_rounds is hit first — a
-    truncated peel is not a k-core)."""
+    truncated peel is not a k-core). ``return_rounds=True`` also
+    returns the peel depth, so callers comparing against a
+    FIXED-UNROLL oracle can assert the unroll covers it."""
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "kcore_members requires a graph built with undirected=True"
@@ -60,11 +63,12 @@ def kcore_members(graph_dir: str, k: int = 2,
         t = collect_labels(W)
         member = pc.greater_equal(t.column("label"),
                                   pa.scalar(0, pa.int64()))
-        return pa.table({
+        out = pa.table({
             "id": t.column("id").filter(member),
             "node": t.column("node").filter(member),
             "core_deg": t.column("label").filter(member),
         })
+        return (out, rounds) if return_rounds else out
     finally:
         if own:
             kill_workers(W)

@@ -39,7 +39,7 @@ import ray.data as rd
 
 from . import build as gb
 from .actors import create_workers, kill_workers
-from .components import collect_labels
+from .components import collect_labels, min_round
 
 
 def _to_ds(x):
@@ -47,19 +47,9 @@ def _to_ds(x):
 
 
 def _min_rounds(W, exchange: str, max_rounds: int = 1_000_000) -> None:
-    """Run min-propagation rounds (cc_step1/2) to fixpoint."""
-    A = len(W)
+    """Run min-propagation rounds (components.min_round) to fixpoint."""
     for _ in range(max_rounds):
-        if exchange == "split":
-            step1 = ray.get([w.cc_step1_split.remote() for w in W])
-            changed = ray.get([
-                W[k].cc_step2_split.remote(
-                    [step1[j][k] for j in range(A)])
-                for k in range(A)])
-        else:
-            refs = [w.cc_step1.remote() for w in W]
-            changed = ray.get([w.cc_step2.remote(refs) for w in W])
-        if sum(changed) == 0:
+        if min_round(W, exchange) == 0:
             return
     raise RuntimeError("min propagation did not converge")
 
@@ -71,6 +61,9 @@ def scc_labels(edges, num_parts: int = 4,
     member (ids in sorted-name order, so root is the
     lexicographically smallest member). Sorted by node name."""
     ds = _to_ds(edges).materialize()
+    if ds.count() == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "root": pa.array([], pa.string())})
 
     work = tempfile.mkdtemp(prefix="scc_")
     Wf = Wr = None

@@ -32,10 +32,16 @@ from ..stages import encode as enc
 from ..stages.join import default_join_partitions, hash_join
 
 
-def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
-                    ) -> pa.Table:
+def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
+                    return_degrees: bool = False
+                    ) -> "pa.Table | tuple[pa.Table, pa.Table]":
     """edges_ds: (src, dst) strings. Returns (node, tri_count) for every
     node, zero-count nodes included, sorted by node.
+
+    ``return_degrees=True`` also returns the (node, deg) table of
+    simple-graph distinct-neighbor degrees — computed internally
+    anyway for the orientation, so compositions (e.g. the clustering
+    coefficient) don't re-canonicalize and re-dedup the edge set.
 
     Two end-to-end strategies, selected by the raw edge count:
 
@@ -54,7 +60,7 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     """
     edges_ds = edges_ds.materialize()
     if edges_ds.count() > broadcast_threshold:
-        return _triangle_counts_partitioned(edges_ds)
+        return _triangle_counts_partitioned(edges_ds, return_degrees)
     names = enc.distinct_nodes(edges_ds)
     n = len(names)
     encoded = enc.encode_edges(edges_ds, names)
@@ -68,6 +74,8 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     for r in deg_ds.take_all():
         deg[r["vertex"]] = r["count()"]
     deg_ref = ray.put(deg)
+    deg_tbl = pa.table({"node": names, "deg": pa.array(deg)}) \
+        if return_degrees else None
 
     class Orient:
         def __init__(self, deg_ref):
@@ -82,7 +90,8 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000
     oriented = undirected.map_batches(
         Orient, fn_constructor_args=(deg_ref,),
         batch_format="pyarrow", concurrency=(1, 4)).materialize()
-    return _close_broadcast(oriented, names, n)
+    out = _close_broadcast(oriented, names, n)
+    return (out, deg_tbl) if return_degrees else out
 
 
 def _undirected_dedup(encoded):
@@ -134,7 +143,8 @@ def _orient(u, v, du, dv, n):
                      "kb": pa.array(kb)})
 
 
-def _triangle_counts_partitioned(edges_ds) -> pa.Table:
+def _triangle_counts_partitioned(edges_ds,
+                                 return_degrees: bool = False):
     """The scale path: dictionary, degrees, wedges, closing and the
     output table all stay distributed — the only driver-side data is
     the final (node, tri_count) result itself."""
@@ -282,7 +292,31 @@ def _triangle_counts_partitioned(edges_ds) -> pa.Table:
     out = named.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
     tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return tbl.sort_by([("node", "ascending")])
+    tbl = tbl.sort_by([("node", "ascending")])
+    if not return_degrees:
+        return tbl
+    # (node, deg) via one name join on the already-computed degree
+    # table; zero-degree nodes (self-loop-only) filled like tri_count
+    dz = nodes_ds.map_batches(zero_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    dc = deg_ds.map_batches(count_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    dtot = (dz.union(dc).groupby("vertex").sum("c")
+            .repartition(nparts))
+    dnamed = hash_join(dtot, nodes_ds, on=("vertex",), right_on=("id",),
+                       left_schema=[("vertex", i64), ("sum(c)", i64)])
+
+    def dfinish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        return pa.table({"node": t.column("node"),
+                         "deg": t.column("sum(c)").cast(pa.int64())})
+
+    dout = dnamed.map_batches(dfinish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    dtbl = pa.Table.from_pandas(dout.to_pandas(), preserve_index=False)
+    return tbl, dtbl.sort_by([("node", "ascending")])
 
 
 @ray.remote

@@ -481,3 +481,27 @@ def test_scc_chain_of_cycles():
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["x"] == got["y"] == got["z"] == "x"
     assert got["t"] == "t"
+
+
+def test_triangles_return_degrees_both_paths():
+    """return_degrees emits simple-graph distinct-neighbor degrees,
+    identical across broadcast and partitioned paths and vs a naive
+    set-based count (self-loops excluded)."""
+    edges, _ = component_fixture_edges()
+    tri_f, deg_f = triangle_counts(from_arrow_edges(edges),
+                                   return_degrees=True)
+    tri_p, deg_p = triangle_counts(from_arrow_edges(edges),
+                                   broadcast_threshold=0,
+                                   return_degrees=True)
+    assert tri_f.to_pylist() == tri_p.to_pylist()
+    assert deg_f.to_pylist() == deg_p.to_pylist()
+    nbrs = {}
+    for s, d in _pairs(edges):
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    want = {n: len(v) for n, v in nbrs.items()}
+    got = {r["node"]: r["deg"] for r in deg_f.to_pylist()}
+    for n, d in want.items():
+        assert got[n] == d

@@ -113,9 +113,6 @@ def test_mulmod_m61_full_width_vs_fast_path(a, h, b):
         assert fast % M == (a * h + b) % M
 
 
-from hypothesis import given, settings, strategies as st
-
-
 @settings(max_examples=60, deadline=None)
 @given(st.lists(
     st.tuples(
@@ -125,8 +122,6 @@ from hypothesis import given, settings, strategies as st
 def test_tagged_set_intersections_matches_intersect1d(rows):
     """The one-sort batch intersection equals per-row np.intersect1d
     for arbitrary distinct uint32 sets (incl. empty sets/batches)."""
-    import numpy as np
-
     from pagerank_ray.functions.vectors import tagged_set_intersections
 
     sets_a = [np.sort(np.fromiter(a, np.uint32, len(a))) for a, _ in rows]
