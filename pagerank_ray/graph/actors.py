@@ -376,6 +376,107 @@ class GraphWorker:
             total += sh.n_local
         return total
 
+    # -------- SCC per-shard outer-loop state (worker-side) ------------
+    #
+    # The SCC driver (graph/scc.py) keeps NO per-node state: each
+    # forward-layout worker holds its shards' resolved mask + roots,
+    # intersects fwd/bwd labels locally against its reverse-layout
+    # twin's label object (shards align by construction: same
+    # sorted-name id assignment, same id % P layout, same contiguous
+    # shard grouping), and returns only counts. Driver traffic is
+    # O(1) per outer round; label objects move worker->worker through
+    # the object store.
+
+    def scc_reset(self) -> int:
+        for sh in self.shards:
+            sh.scc_resolved = np.zeros(sh.n_local, dtype=bool)
+            sh.scc_roots = np.full(sh.n_local, -1, dtype=np.int64)
+        return sum(sh.n_local for sh in self.shards)
+
+    def minprop_init_masked(self) -> int:
+        """minprop_init driven by the per-shard resolved mask instead
+        of a broadcast dead-id list: alive nodes originate their own
+        id, resolved nodes start at the INF sentinel n and only relay
+        (dead-relay rounds — sound for SCC, see graph/scc.py)."""
+        self._msg_incr = np.int64(0)
+        total = 0
+        for sh in self.shards:
+            sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
+                + sh.part
+            res = sh.scc_resolved
+            if res.any():
+                sh.labels[res] = np.int64(self.n)
+                sh.active = ~res
+            else:
+                sh.active = None
+            total += sh.n_local
+        return total
+
+    def scc_labels_out(self):
+        """Post-propagation label arrays for this worker's shards (one
+        object, O(n/A)) — shipped to the twin worker of the other
+        layout for the fwd==bwd intersection."""
+        return [sh.labels.copy() for sh in self.shards]
+
+    def scc_intersect(self, twin_labels):
+        """fwd==bwd intersection for this worker's shards: ``fwd`` is
+        the local post-propagation labels, ``twin_labels`` the aligned
+        shard labels from the reverse layout. Updates the per-shard
+        resolved mask + roots in place. Returns (newly_resolved_count,
+        [per-shard resolved masks]) — call with num_returns=2 so the
+        driver pulls only the count and the masks object flows
+        straight to the twin worker."""
+        new_total = 0
+        for sh, bwd in zip(self.shards, twin_labels):
+            f = sh.labels
+            new = (~sh.scc_resolved) & (f == bwd) & (f < self.n)
+            sh.scc_roots[new] = f[new]
+            sh.scc_resolved |= new
+            new_total += int(new.sum())
+        return new_total, [sh.scc_resolved.copy() for sh in self.shards]
+
+    def scc_masks_out(self):
+        """Current per-shard resolved masks (for twin sync on resume)."""
+        return [sh.scc_resolved.copy() for sh in self.shards]
+
+    def scc_set_masks(self, masks) -> None:
+        """Adopt the twin's resolved masks (reverse-layout workers
+        never intersect; they only need the mask for the next
+        minprop_init_masked)."""
+        for sh, m in zip(self.shards, masks):
+            sh.scc_resolved = np.asarray(m, dtype=bool)
+
+    def scc_finalize(self) -> None:
+        """labels := roots, so collect_labels / the distributed label
+        sink emit (id, node, root_id) unchanged."""
+        for sh in self.shards:
+            sh.labels = sh.scc_roots
+            sh.active = None
+
+    def scc_save(self, ckpt_dir: str, rnd: int) -> int:
+        """Per-shard (resolved, roots) snapshot — atomic tmp+rename,
+        one file per SHARD, so a run resumes on a different cluster
+        size (the labels_save discipline)."""
+        d = os.path.join(ckpt_dir, f"round={rnd}")
+        os.makedirs(d, exist_ok=True)
+        for sh in self.shards:
+            tmp = os.path.join(d, f"part-{sh.part}.tmp.npz")
+            np.savez(tmp, resolved=sh.scc_resolved, roots=sh.scc_roots)
+            os.replace(tmp, os.path.join(d, f"part-{sh.part}.npz"))
+        return len(self.shards)
+
+    def scc_load(self, ckpt_dir: str, rnd: int) -> int:
+        """Load per-shard SCC state; returns this worker's resolved
+        count (the driver re-derives resolved_total as a sum)."""
+        total = 0
+        for sh in self.shards:
+            z = np.load(os.path.join(ckpt_dir, f"round={rnd}",
+                                     f"part-{sh.part}.npz"))
+            sh.scc_resolved = z["resolved"]
+            sh.scc_roots = z["roots"]
+            total += int(sh.scc_resolved.sum())
+        return total
+
     def bfs_init(self, seed_ids) -> int:
         """Min-plus hop distances: labels start at the INF sentinel n
         (the same value the exchange's dense buffer uses for "no
@@ -546,6 +647,44 @@ class GraphWorker:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         tgt, cnt = np.unique(np.concatenate(tgts), return_counts=True)
         return tgt, cnt.astype(np.int64)
+
+    def kc_step1_split(self):
+        """Split-exchange form of kc_step1: the sorted (tgt, count)
+        decrements are cut at destination-group boundaries (np.unique
+        output is already sorted -> one searchsorted pair per group)
+        and each segment ships as its own object — messages stop
+        replicating A× (kc_step2 has every worker pull every worker's
+        FULL pair list). Sum-combine is commutative, so results are
+        identical to the concat form."""
+        tgt, cnt = self.kc_step1()
+        refs = []
+        for lo, hi in self.group_bounds:
+            i0 = np.searchsorted(tgt, lo)
+            i1 = np.searchsorted(tgt, hi)
+            refs.append(ray.put((tgt[i0:i1] - lo, cnt[i0:i1])))
+        return refs
+
+    def kc_step2_split(self, chunk_refs) -> int:
+        base = int(self.offs[self.shard_ids[0]])
+        removed_total = 0
+        dec = {sh.part: np.zeros(sh.n_local, dtype=np.int64)
+               for sh in self.shards}
+        for ref in chunk_refs:
+            tgt, cnt = ray.get(ref) \
+                if isinstance(ref, ray.ObjectRef) else ref
+            for sh in self.shards:
+                lo = int(self.offs[sh.part]) - base
+                hi = int(self.offs[sh.part + 1]) - base
+                i0 = np.searchsorted(tgt, lo)
+                i1 = np.searchsorted(tgt, hi)
+                np.add.at(dec[sh.part], tgt[i0:i1] - lo, cnt[i0:i1])
+            del tgt, cnt
+        for sh in self.shards:
+            sh.labels -= dec[sh.part]
+            nxt = sh._alive & (sh.labels < self._kcore_k)
+            sh.active = nxt            # next round's removal frontier
+            removed_total += int(nxt.sum())
+        return removed_total
 
     def kc_step2(self, partial_refs) -> int:
         pairs = ray.get(list(partial_refs)) if partial_refs and \

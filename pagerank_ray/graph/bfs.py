@@ -66,6 +66,8 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
     stop_after contracts as connected_components."""
     if (seed_nodes is None) == (seed_ids is None):
         raise ValueError("pass exactly one of seed_nodes / seed_ids")
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     meta = gb.read_meta(graph_dir)
     if seed_ids is None:
         seed_ids = resolve_seed_ids(graph_dir, seed_nodes)
@@ -129,7 +131,16 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
             if checkpoint_dir and checkpoint_every and \
                     rnd % checkpoint_every == 0:
                 checkpoint(rnd, converged=False)
-        if checkpoint_dir and converged:
+        if not converged:
+            # truncated distances are not BFS distances — fail loudly
+            # (kcore_members discipline) instead of silently
+            # returning/writing a partial frontier
+            if checkpoint_dir:
+                checkpoint(rnd, converged=False)
+            raise RuntimeError(
+                f"bfs_distances did not converge within "
+                f"{max_rounds} rounds")
+        if checkpoint_dir:
             checkpoint(rnd, converged=True)
         if out_dir is not None:
             from .sink import write_result_distributed

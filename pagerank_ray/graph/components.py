@@ -69,6 +69,8 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "connected_components requires a graph built with undirected=True"
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]
@@ -114,7 +116,16 @@ def connected_components(graph_dir: str, max_rounds: int = 10_000,
             if checkpoint_dir and checkpoint_every and \
                     rnd % checkpoint_every == 0:
                 checkpoint(rnd, converged=False)
-        if checkpoint_dir and converged:
+        if not converged:
+            # a truncated propagation is NOT a component labeling —
+            # fail loudly (kcore_members discipline) instead of
+            # silently returning/writing partial labels
+            if checkpoint_dir:
+                checkpoint(rnd, converged=False)
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_rounds} rounds")
+        if checkpoint_dir:
             checkpoint(rnd, converged=True)
         if out_dir is not None:
             from .sink import write_result_distributed

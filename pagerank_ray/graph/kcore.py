@@ -35,18 +35,29 @@ from .components import collect_labels
 def kcore_members(graph_dir: str, k: int = 2,
                   max_rounds: int = 10_000,
                   workers=None, num_workers: int | None = None,
+                  exchange: str = "auto",
                   return_rounds: bool = False
                   ) -> "pa.Table | tuple[pa.Table, int]":
     """Peel to convergence (raises if max_rounds is hit first — a
     truncated peel is not a k-core). ``return_rounds=True`` also
     returns the peel depth, so callers comparing against a
-    FIXED-UNROLL oracle can assert the unroll covers it."""
+    FIXED-UNROLL oracle can assert the unroll covers it.
+
+    ``exchange``: "concat" ships each worker's full (tgt, count) pair
+    list to every worker; "split" cuts the sorted pairs at the
+    destination-group boundaries so decrement bytes stop replicating
+    A× (the cc_step1_split discipline). "auto" picks split when
+    n > 32M — same rule as CC/PageRank. Sum-combine is commutative,
+    so results are identical across modes."""
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "kcore_members requires a graph built with undirected=True"
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]
+    if exchange == "auto":
+        exchange = "split" if meta["n"] > 32_000_000 else "concat"
+    A = len(W)
     try:
         removed = sum(ray.get([w.kcore_init.remote(k) for w in W]))
         rounds = 0
@@ -55,9 +66,16 @@ def kcore_members(graph_dir: str, k: int = 2,
                 raise RuntimeError(
                     f"k-core peeling did not converge within "
                     f"{max_rounds} rounds")
-            refs = [w.kc_step1.remote() for w in W]
-            removed = sum(ray.get([w.kc_step2.remote(refs)
-                                   for w in W]))
+            if exchange == "split":
+                step1 = ray.get([w.kc_step1_split.remote() for w in W])
+                removed = sum(ray.get([
+                    W[j].kc_step2_split.remote(
+                        [step1[i][j] for i in range(A)])
+                    for j in range(A)]))
+            else:
+                refs = [w.kc_step1.remote() for w in W]
+                removed = sum(ray.get([w.kc_step2.remote(refs)
+                                       for w in W]))
             rounds += 1
         ray.get([w.kcore_finalize.remote() for w in W])
         t = collect_labels(W)

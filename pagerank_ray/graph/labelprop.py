@@ -49,6 +49,8 @@ def label_propagation(graph_dir: str, rounds: int = 10,
     meta = gb.read_meta(graph_dir)
     assert meta.get("undirected"), \
         "label_propagation requires a graph built with undirected=True"
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     own = workers is None
     W = workers or create_workers(graph_dir, meta,
                                   num_workers=num_workers)[0]

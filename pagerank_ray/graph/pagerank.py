@@ -96,6 +96,8 @@ class PageRankRunner:
         """
         if max_restarts and not checkpoint_dir:
             raise ValueError("max_restarts requires checkpoint_dir")
+        if resume and not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
         attempts = 0
         while True:
             try:

@@ -18,16 +18,31 @@ the SCC of each round's minimum alive id always resolves — rounds
 strictly shrink the residual, bounded by the SCC "level" depth.
 
 Cost model: BOTH graph layouts are built ONCE and their worker pools
-persist across rounds — a round is just two delta-frontier
-min-propagations plus an O(n) driver mask update (node-dimension;
-at 10^12 nodes keep the mask worker-side and use the distributed
-label sink — the round structure is unchanged). This matters: the
-naive rebuild-per-round variant paid two graph builds + two actor
-pools per level and was ~50× slower on a 200k-edge zipf graph.
+persist across rounds — a round is two delta-frontier
+min-propagations plus a WORKER-SIDE fwd==bwd intersection: the two
+layouts share the sorted-name id assignment and the id % P shard
+layout, and both pools use the same contiguous shard grouping, so
+worker i of the reverse pool holds exactly the shards of worker i of
+the forward pool. Each round the reverse workers ship their label
+arrays (one object each, O(n/A)) to their forward twins, which update
+per-shard resolved masks + roots IN PLACE and return only counts —
+driver traffic is O(1) per round (counts and object refs), never the
+O(n) label/mask pulls of the round-4 driver-centric loop. This
+matters twice: the naive rebuild-per-round variant paid two graph
+builds + two actor pools per level (~50× slower on a 200k-edge zipf
+graph), and the driver-centric intersection pulled 2×O(n) rows per
+round, the round-4 verdict's remaining scale-killer.
+
+Checkpoint/resume: per-SHARD (resolved, roots) snapshots at
+outer-round boundaries + a driver manifest (the labels_save
+discipline) — resumable mid-run, even on a different cluster size,
+because state keys on shards. Min-propagation is deterministic, so a
+resumed run converges to identical roots.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -39,7 +54,7 @@ import ray.data as rd
 
 from . import build as gb
 from .actors import create_workers, kill_workers
-from .components import collect_labels, min_round
+from .components import collect_labels, load_labels_manifest, min_round
 
 
 def _to_ds(x):
@@ -56,10 +71,33 @@ def _min_rounds(W, exchange: str, max_rounds: int = 1_000_000) -> None:
 
 def scc_labels(edges, num_parts: int = 4,
                max_outer: int = 10_000,
-               exchange: str = "auto") -> pa.Table:
+               exchange: str = "auto",
+               num_workers: int | None = None,
+               out_dir: str | None = None,
+               checkpoint_dir: str | None = None,
+               checkpoint_every: int = 0,
+               resume: bool = False,
+               stop_after: int | None = None
+               ) -> pa.Table | dict | None:
     """(node, root) per node — root = NAME of the SCC's minimum-id
     member (ids in sorted-name order, so root is the
-    lexicographically smallest member). Sorted by node name."""
+    lexicographically smallest member). Sorted by node name.
+
+    ``out_dir``: when set, each forward worker writes its shards'
+    (id, node, label=root_id) table straight to parquet
+    (graph/sink.py) and the manifest dict is returned — the driver
+    never holds the n-row result.
+
+    ``checkpoint_dir`` / ``checkpoint_every`` / ``resume`` /
+    ``stop_after``: same contracts as connected_components, at
+    OUTER-round granularity (per-shard resolved+roots snapshots;
+    graph build is deterministic, so a fresh process rebuilds the
+    same layouts and resumes). ``stop_after`` checkpoints and
+    returns None after that many outer rounds — fault injection for
+    the resume tests.
+    """
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     ds = _to_ds(edges).materialize()
     if ds.count() == 0:
         return pa.table({"node": pa.array([], pa.string()),
@@ -82,47 +120,95 @@ def scc_labels(edges, num_parts: int = 4,
         n = meta["n"]
         if exchange == "auto":
             exchange = "split" if n > 32_000_000 else "concat"
+        if num_workers is None:
+            avail = int(ray.cluster_resources().get("CPU", 1))
+            num_workers = max(1, min(num_parts, avail))
 
         # both pools persist across rounds but never compute at the
         # same time (fwd then bwd sequentially) — half a CPU each lets
         # the two pools coexist on any cluster size instead of the
-        # second pool deadlocking on a fully-reserved CPU budget
-        Wf = create_workers(fdir, meta, num_cpus_per_worker=0.5)[0]
-        Wr = create_workers(rdir, gb.read_meta(rdir),
+        # second pool deadlocking on a fully-reserved CPU budget.
+        # EXPLICIT num_workers on both: twin alignment (worker i of
+        # each pool owns the same shard ids) is what makes the
+        # worker-side intersection correct.
+        Wf = create_workers(fdir, meta, num_workers=num_workers,
                             num_cpus_per_worker=0.5)[0]
+        Wr = create_workers(rdir, gb.read_meta(rdir),
+                            num_workers=num_workers,
+                            num_cpus_per_worker=0.5)[0]
+        A = len(Wf)
+        assert len(Wr) == A, "twin pools must align worker-for-worker"
 
-        resolved = np.zeros(n, dtype=bool)
-        roots = np.empty(n, dtype=np.int64)
-        names = None
+        def checkpoint(r: int, converged: bool) -> None:
+            ray.get([w.scc_save.remote(checkpoint_dir, r) for w in Wf])
+            gb._atomic_write_json(
+                os.path.join(checkpoint_dir, "manifest.json"),
+                {"algorithm": "scc", "round": r, "converged": converged,
+                 "num_parts": num_parts, "n": n})
+
+        ray.get([w.scc_reset.remote() for w in Wf + Wr])
+        resolved_total = 0
         rounds = 0
-        while not resolved.all():
+        if resume:
+            man = load_labels_manifest(checkpoint_dir)
+            if man.get("algorithm") != "scc" or \
+                    man.get("num_parts") != num_parts or \
+                    man.get("n") != n:
+                raise ValueError(
+                    f"checkpoint mismatch: manifest is "
+                    f"algorithm={man.get('algorithm')!r} "
+                    f"num_parts={man.get('num_parts')} n={man.get('n')},"
+                    f" this run is scc/{num_parts}/n={n} — resuming "
+                    f"would produce wrong roots")
+            rounds = man["round"]
+            resolved_total = sum(ray.get(
+                [w.scc_load.remote(checkpoint_dir, rounds) for w in Wf]))
+            # sync the loaded masks to the reverse twins (refs only —
+            # the driver never holds a mask)
+            mask_refs = [w.scc_masks_out.remote() for w in Wf]
+            ray.get([Wr[i].scc_set_masks.remote(mask_refs[i])
+                     for i in range(A)])
+
+        done_this_call = 0
+        while resolved_total < n:
+            if stop_after is not None and done_this_call >= stop_after:
+                if checkpoint_dir:
+                    checkpoint(rounds, converged=False)
+                return None
             if rounds >= max_outer:
                 raise RuntimeError(
                     f"SCC did not resolve within {max_outer} rounds")
-            dead = None if rounds == 0 else \
-                ray.put(np.flatnonzero(resolved).astype(np.int64))
-            ray.get([w.minprop_init.remote(dead) for w in Wf])
-            ray.get([w.minprop_init.remote(dead) for w in Wr])
+            ray.get([w.minprop_init_masked.remote() for w in Wf + Wr])
             _min_rounds(Wf, exchange)
             _min_rounds(Wr, exchange)
-            fwd = collect_labels(Wf)
-            bwd = collect_labels(Wr)
-            if names is None:
-                # same node set, same sorted-name id assignment ->
-                # rows align 1:1 by id across the two layouts
-                names = fwd.column("node").to_numpy(
-                    zero_copy_only=False)
-            f = fwd.column("label").to_numpy()
-            b = bwd.column("label").to_numpy()
-            new = (~resolved) & (f == b) & (f < n)
-            if not new.any():
+            # worker-side intersection: bwd labels ship worker->worker
+            # (per-twin objects); the driver sees counts and refs only
+            bwd_refs = [w.scc_labels_out.remote() for w in Wr]
+            pairs = [Wf[i].scc_intersect.options(num_returns=2).remote(
+                bwd_refs[i]) for i in range(A)]
+            new_total = sum(ray.get([p[0] for p in pairs]))
+            ray.get([Wr[i].scc_set_masks.remote(pairs[i][1])
+                     for i in range(A)])
+            if new_total == 0:
                 raise AssertionError(
                     "pivot-min round resolved nothing — the minimum "
                     "alive id's SCC always resolves")
-            roots[new] = f[new]
-            resolved |= new
+            resolved_total += new_total
             rounds += 1
+            done_this_call += 1
+            if checkpoint_dir and checkpoint_every and \
+                    rounds % checkpoint_every == 0:
+                checkpoint(rounds, converged=False)
+        if checkpoint_dir:
+            checkpoint(rounds, converged=True)
 
+        ray.get([w.scc_finalize.remote() for w in Wf])
+        if out_dir is not None:
+            from .sink import write_result_distributed
+            return write_result_distributed(Wf, out_dir, "label")
+        t = collect_labels(Wf)  # sorted by id -> names[i] = name of id i
+        names = t.column("node").to_numpy(zero_copy_only=False)
+        roots = t.column("label").to_numpy()
         order = np.argsort(names, kind="stable")
         return pa.table({
             "node": pa.array(names[order].astype(object), pa.string()),

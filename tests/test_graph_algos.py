@@ -505,3 +505,110 @@ def test_triangles_return_degrees_both_paths():
     got = {r["node"]: r["deg"] for r in deg_f.to_pylist()}
     for n, d in want.items():
         assert got[n] == d
+
+
+def test_kcore_split_exchange_matches_concat(tmp_path):
+    """Split (per-destination-segment) k-core decrements return the
+    exact same membership as the concat exchange — sum-combine is
+    commutative — across different worker counts."""
+    import pyarrow as pa
+
+    from pagerank_ray.graph.kcore import kcore_members
+
+    from .oracle import kcore_oracle
+
+    rng = np.random.RandomState(23)
+    src = rng.randint(0, 50, 400).astype(str)
+    dst = rng.randint(0, 50, 400).astype(str)
+    edges = pa.table({"src": pa.array(src.astype(object), pa.string()),
+                      "dst": pa.array(dst.astype(object), pa.string())})
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    a = kcore_members(gdir, k=3, exchange="concat")
+    b = kcore_members(gdir, k=3, exchange="split")
+    c = kcore_members(gdir, k=3, exchange="split", num_workers=2)
+    assert a.to_pylist() == b.to_pylist() == c.to_pylist()
+    got = {r["node"]: r["core_deg"] for r in b.to_pylist()}
+    assert got == kcore_oracle(_pairs(edges), 3)
+
+
+def test_scc_checkpoint_resume_and_sink(tmp_path):
+    """Kill-at-outer-round-k -> resume (on a DIFFERENT worker count)
+    -> identical roots; out_dir sink readback equals the collected
+    table; resume without checkpoint_dir is rejected."""
+    import pyarrow as pa
+
+    from pagerank_ray.graph.scc import scc_labels
+    from pagerank_ray.graph.sink import read_result_dataset
+
+    from .oracle import scc_oracle
+
+    rng = np.random.RandomState(29)
+    src = rng.randint(0, 60, 300).astype(str)
+    dst = rng.randint(0, 60, 300).astype(str)
+    edges = pa.table({"src": pa.array(src.astype(object), pa.string()),
+                      "dst": pa.array(dst.astype(object), pa.string())})
+    want = scc_oracle(_pairs(edges))
+
+    ck = str(tmp_path / "ck")
+    stopped = scc_labels(edges, num_parts=3, checkpoint_dir=ck,
+                         stop_after=1, num_workers=3)
+    assert stopped is None
+    res = scc_labels(edges, num_parts=3, checkpoint_dir=ck,
+                     resume=True, num_workers=2)
+    got = {r["node"]: r["root"] for r in res.to_pylist()}
+    assert got == want
+
+    od = str(tmp_path / "out")
+    man = scc_labels(edges, num_parts=3, out_dir=od)
+    assert man["kind"] == "label"
+    t = read_result_dataset(od).to_pandas().sort_values(
+        "id").reset_index(drop=True)
+    names = t["node"].to_numpy()
+    got_sink = {str(nm): str(names[lab])
+                for nm, lab in zip(names, t["label"].to_numpy())}
+    assert got_sink == want
+
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        scc_labels(edges, num_parts=3, resume=True)
+
+
+def test_resume_requires_checkpoint_dir(tmp_path):
+    """resume=True with checkpoint_dir=None raises a clear
+    ValueError (not an opaque TypeError from os.path.join) in every
+    iterative algorithm."""
+    from pagerank_ray.graph.bfs import bfs_distances
+    from pagerank_ray.graph.pagerank import PageRankRunner
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=2,
+                undirected=True)
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        connected_components(gdir, resume=True)
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        label_propagation(gdir, resume=True)
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        bfs_distances(gdir, seed_ids=[0], resume=True)
+    runner = PageRankRunner(gdir)
+    try:
+        with pytest.raises(ValueError, match="requires checkpoint_dir"):
+            runner.run(resume=True)
+    finally:
+        runner.close()
+
+
+def test_cc_bfs_raise_on_round_exhaustion(tmp_path):
+    """A truncated propagation must fail loudly, not return partial
+    labels/distances (ADVICE r4)."""
+    from pagerank_ray.graph.bfs import bfs_distances
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=2,
+                undirected=True)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(gdir, max_rounds=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_distances(gdir, seed_ids=[0], max_rounds=1)
