@@ -415,36 +415,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_clustering_events(sf_dir):
         """Local clustering coefficient per node — a COMPOSITION of
         the existing operators (per-vertex triangles ÷ simple-graph
-        degree pairs), emitted as exact integers for cross-engine
-        hash parity: coeff_ppm = (2e6 · tri) // (deg·(deg−1)), deg≥2
-        (floor division in int64 on both engines — no float rounding
-        boundary to straddle). Degrees count DISTINCT neighbors on
-        the canonicalized simple graph (self-loops dropped), the same
-        convention the triangle counter uses."""
+        degree pairs), exact integer ppm for cross-engine hash parity
+        (graph/triangles.py:clustering_coefficients — the partitioned
+        path joins the tri/deg DATASETS and supports an out_dir sink;
+        this contract surface returns the driver table)."""
         _quiet()
-        import numpy as np
-
-        from pagerank_ray.graph.triangles import triangle_counts
-
-        # the degree table is a BYPRODUCT of the triangle counter's
-        # own canonicalize+dedup pass — return_degrees avoids running
-        # that heaviest pass a second time just for the denominator
-        tri, deg_tbl = triangle_counts(edges_from_events(sf_dir),
-                                       return_degrees=True)
-        # both tables are sorted by node over the same node set
-        assert tri.column("node").combine_chunks().equals(
-            deg_tbl.column("node").combine_chunks())
-        tric = tri.column("tri_count").to_numpy()
-        deg = deg_tbl.column("deg").to_numpy()
-        ppm = np.zeros(len(tric), np.int64)
-        m = deg >= 2
-        ppm[m] = (2_000_000 * tric[m]) // (deg[m] * (deg[m] - 1))
-        return pa.table({
-            "node": tri.column("node"),
-            "deg": pa.array(deg.astype(np.int64)),
-            "tri_count": tri.column("tri_count"),
-            "coeff_ppm": pa.array(ppm),
-        })
+        from pagerank_ray.graph.triangles import clustering_coefficients
+        return clustering_coefficients(edges_from_events(sf_dir))
 
     # ---- text analysis ----
 

@@ -26,6 +26,17 @@ import ray
 from . import build as gb
 
 
+def wipe_parquet_dir(out_dir: str) -> None:
+    """Remove stale parquet/tmp files so a reused out_dir never holds
+    a mix of two runs' files (Dataset.write_parquet appends
+    uniquely-named files; this is the manifest-less counterpart of the
+    fingerprint discipline below)."""
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet") or ".tmp" in f:
+                os.remove(os.path.join(out_dir, f))
+
+
 def write_result_distributed(workers, out_dir: str, kind: str) -> dict:
     """``kind``: "rank" (PageRank x_prev) or "label" (CC/LPA labels).
     Returns the committed manifest."""

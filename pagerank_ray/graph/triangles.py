@@ -33,8 +33,9 @@ from ..stages.join import default_join_partitions, hash_join
 
 
 def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
-                    return_degrees: bool = False
-                    ) -> "pa.Table | tuple[pa.Table, pa.Table]":
+                    return_degrees: bool = False,
+                    out_dir: str | None = None
+                    ) -> "pa.Table | tuple[pa.Table, pa.Table] | None":
     """edges_ds: (src, dst) strings. Returns (node, tri_count) for every
     node, zero-count nodes included, sorted by node.
 
@@ -42,6 +43,12 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
     simple-graph distinct-neighbor degrees — computed internally
     anyway for the orientation, so compositions (e.g. the clustering
     coefficient) don't re-canonicalize and re-dedup the edge set.
+
+    ``out_dir``: when set, the (node, tri_count) result is written as
+    sharded parquet straight from the final join's output blocks
+    (stale files wiped first — the sink discipline) and None is
+    returned; on the partitioned path the O(n)-row result never
+    lands on the driver. Mutually exclusive with return_degrees.
 
     Two end-to-end strategies, selected by the raw edge count:
 
@@ -58,8 +65,18 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
       count table is assembled by a union + groupby + name join (no
       dense O(n) driver array).
     """
+    if out_dir is not None and return_degrees:
+        raise ValueError("out_dir and return_degrees are mutually "
+                         "exclusive — compose via "
+                         "clustering_coefficients instead")
     edges_ds = edges_ds.materialize()
     if edges_ds.count() > broadcast_threshold:
+        if out_dir is not None:
+            from .sink import wipe_parquet_dir
+            tri_ds, _ = _partitioned_datasets(edges_ds, want_deg=False)
+            wipe_parquet_dir(out_dir)
+            tri_ds.write_parquet(out_dir)
+            return None
         return _triangle_counts_partitioned(edges_ds, return_degrees)
     names = enc.distinct_nodes(edges_ds)
     n = len(names)
@@ -91,6 +108,13 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
         Orient, fn_constructor_args=(deg_ref,),
         batch_format="pyarrow", concurrency=(1, 4)).materialize()
     out = _close_broadcast(oriented, names, n)
+    if out_dir is not None:
+        # broadcast path is driver-safe by construction; write the
+        # same way for interface parity
+        from .sink import wipe_parquet_dir
+        wipe_parquet_dir(out_dir)
+        rd.from_arrow(out).write_parquet(out_dir)
+        return None
     return (out, deg_tbl) if return_degrees else out
 
 
@@ -145,9 +169,29 @@ def _orient(u, v, du, dv, n):
 
 def _triangle_counts_partitioned(edges_ds,
                                  return_degrees: bool = False):
-    """The scale path: dictionary, degrees, wedges, closing and the
-    output table all stay distributed — the only driver-side data is
-    the final (node, tri_count) result itself."""
+    """The scale path as DRIVER tables (the query-contract form):
+    everything up to the final result stays distributed
+    (_partitioned_datasets); only the (node, tri_count) result itself
+    is collected. Scale callers use triangle_counts(out_dir=) /
+    clustering_coefficients(out_dir=) instead, which write the same
+    Datasets as sharded parquet without any driver collect."""
+    tri_ds, deg_out = _partitioned_datasets(edges_ds,
+                                            want_deg=return_degrees)
+    tbl = pa.Table.from_pandas(tri_ds.to_pandas(), preserve_index=False)
+    tbl = tbl.sort_by([("node", "ascending")])
+    if not return_degrees:
+        return tbl
+    dtbl = pa.Table.from_pandas(deg_out.to_pandas(),
+                                preserve_index=False)
+    return tbl, dtbl.sort_by([("node", "ascending")])
+
+
+def _partitioned_datasets(edges_ds, want_deg: bool = False):
+    """The partitioned pipeline as LAZY Datasets: returns
+    (tri_ds, deg_ds) with schemas (node, tri_count) / (node, deg)
+    (deg_ds None unless want_deg). Dictionary, degrees, wedges,
+    closing and the result assembly all stay distributed — nothing
+    O(n) touches the driver."""
     nparts = default_join_partitions()
     nodes_ds = enc.assign_ids_sorted(
         enc.distinct_nodes_dataset(edges_ds)).materialize()
@@ -291,10 +335,8 @@ def _triangle_counts_partitioned(edges_ds,
 
     out = named.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    tbl = tbl.sort_by([("node", "ascending")])
-    if not return_degrees:
-        return tbl
+    if not want_deg:
+        return out, None
     # (node, deg) via one name join on the already-computed degree
     # table; zero-degree nodes (self-loop-only) filled like tri_count
     dz = nodes_ds.map_batches(zero_rows, batch_format="pyarrow",
@@ -315,8 +357,103 @@ def _triangle_counts_partitioned(edges_ds,
 
     dout = dnamed.map_batches(dfinish, batch_format="pyarrow",
                               zero_copy_batch=True)
-    dtbl = pa.Table.from_pandas(dout.to_pandas(), preserve_index=False)
-    return tbl, dtbl.sort_by([("node", "ascending")])
+    return out, dout
+
+
+def _ppm_from_arrays(tric: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    """coeff_ppm = (2e6 · tri) // (deg·(deg−1)), deg>=2 — exact
+    int64 floor division (no float rounding boundary), the same
+    formula the SQL oracle replays."""
+    ppm = np.zeros(len(tric), np.int64)
+    m = deg >= 2
+    ppm[m] = (2_000_000 * tric[m]) // (deg[m] * (deg[m] - 1))
+    return ppm
+
+
+def clustering_coefficients(edges_ds,
+                            broadcast_threshold: int = 2_000_000,
+                            out_dir: str | None = None
+                            ) -> "pa.Table | None":
+    """Local clustering coefficient per node — a COMPOSITION of the
+    triangle counter's own outputs (per-vertex triangles ÷
+    simple-graph distinct-neighbor degree pairs), emitted as exact
+    integer ppm for cross-engine hash parity. Returns
+    (node, deg, tri_count, coeff_ppm) sorted by node.
+
+    Broadcast path (small edge sets): the driver tables from
+    triangle_counts(return_degrees=True) align row-for-row — the ppm
+    math is a vectorized driver step on the query result itself.
+    Partitioned path: tri and deg stay DATASETS, join on node, and
+    the ppm math is a map over the join — the O(n)-row table never
+    lands on the driver when ``out_dir`` is set (sharded parquet,
+    sink wipe discipline; returns None).
+    """
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= broadcast_threshold:
+        tri, deg_tbl = triangle_counts(
+            edges_ds, broadcast_threshold=broadcast_threshold,
+            return_degrees=True)
+        # both tables are sorted by node over the same node set
+        assert tri.column("node").combine_chunks().equals(
+            deg_tbl.column("node").combine_chunks())
+        tric = tri.column("tri_count").to_numpy()
+        deg = deg_tbl.column("deg").to_numpy().astype(np.int64)
+        out_tbl = pa.table({
+            "node": tri.column("node"),
+            "deg": pa.array(deg),
+            "tri_count": tri.column("tri_count"),
+            "coeff_ppm": pa.array(_ppm_from_arrays(tric, deg)),
+        })
+        if out_dir is not None:
+            from .sink import wipe_parquet_dir
+            wipe_parquet_dir(out_dir)
+            rd.from_arrow(out_tbl).write_parquet(out_dir)
+            return None
+        return out_tbl
+
+    s = pa.string()
+    i64 = pa.int64()
+    tri_ds, deg_ds = _partitioned_datasets(edges_ds, want_deg=True)
+    # materialize BOTH sides before the final join (object store, not
+    # driver): chaining the whole tri DAG (3 join pools) + deg DAG +
+    # this join into one execution graph overlaps 5 aggregator pools,
+    # which stalls on small clusters — and the inputs are the O(n)-row
+    # RESULTS, the cheapest point to cut the graph
+    tri_ds = tri_ds.repartition(
+        default_join_partitions()).materialize()
+    d2 = deg_ds.map_batches(
+        lambda t: t.rename_columns(["node2", "deg"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    joined = hash_join(
+        tri_ds, d2,
+        on=("node",), right_on=("node2",),
+        left_schema=[("node", s), ("tri_count", i64)],
+        right_schema=[("node2", s), ("deg", i64)])
+
+    def ppm_map(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], s),
+                             "deg": pa.array([], i64),
+                             "tri_count": pa.array([], i64),
+                             "coeff_ppm": pa.array([], i64)})
+        tric = t.column("tri_count").to_numpy().astype(np.int64)
+        deg = t.column("deg").to_numpy().astype(np.int64)
+        return pa.table({
+            "node": t.column("node"),
+            "deg": pa.array(deg),
+            "tri_count": pa.array(tric),
+            "coeff_ppm": pa.array(_ppm_from_arrays(tric, deg)),
+        })
+
+    out = joined.map_batches(ppm_map, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if out_dir is not None:
+        from .sink import wipe_parquet_dir
+        wipe_parquet_dir(out_dir)
+        out.write_parquet(out_dir)
+        return None
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.sort_by([("node", "ascending")])
 
 
 @ray.remote

@@ -417,13 +417,9 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
                              zero_copy_batch=True)
     if out_dir is not None:
         # wipe stale parquet first — a reused out_dir must never hold
-        # a mix of two runs' files (the graph/sink.py discipline;
-        # Dataset.write_parquet appends uniquely-named files)
-        import os
-        if os.path.isdir(out_dir):
-            for f in os.listdir(out_dir):
-                if f.endswith(".parquet") or ".tmp" in f:
-                    os.remove(os.path.join(out_dir, f))
+        # a mix of two runs' files (the graph/sink.py discipline)
+        from ..graph.sink import wipe_parquet_dir
+        wipe_parquet_dir(out_dir)
         out.write_parquet(out_dir)
         return None
     res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

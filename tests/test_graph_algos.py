@@ -612,3 +612,57 @@ def test_cc_bfs_raise_on_round_exhaustion(tmp_path):
         connected_components(gdir, max_rounds=1)
     with pytest.raises(RuntimeError, match="did not converge"):
         bfs_distances(gdir, seed_ids=[0], max_rounds=1)
+
+
+def test_triangles_clustering_sink_and_partitioned(tmp_path):
+    """triangle_counts(out_dir=) / clustering_coefficients(out_dir=)
+    write sharded parquet that reads back equal to the driver tables,
+    on BOTH paths; the partitioned clustering path (Dataset tri⋈deg
+    join) matches the broadcast driver composition; a reused out_dir
+    is wiped (no file mixing)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.graph.triangles import (clustering_coefficients,
+                                              triangle_counts)
+
+    edges, _ = component_fixture_edges()
+    ds = from_arrow_edges(edges)
+
+    want_tri = triangle_counts(ds)
+    want_clu = clustering_coefficients(ds)
+    # partitioned path parity (threshold 0 forces it)
+    got_clu_p = clustering_coefficients(ds, broadcast_threshold=0)
+    assert got_clu_p.to_pylist() == want_clu.to_pylist()
+
+    def readback(d):
+        t = rd.read_parquet(d).to_pandas()
+        t = t.sort_values("node").reset_index(drop=True)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    for thresh in (2_000_000, 0):  # broadcast, partitioned
+        td = str(tmp_path / f"tri{thresh}")
+        assert triangle_counts(ds, broadcast_threshold=thresh,
+                               out_dir=td) is None
+        assert readback(td).select(
+            ["node", "tri_count"]).to_pylist() == want_tri.to_pylist()
+        cd = str(tmp_path / f"clu{thresh}")
+        assert clustering_coefficients(ds, broadcast_threshold=thresh,
+                                       out_dir=cd) is None
+        assert readback(cd).select(
+            ["node", "deg", "tri_count", "coeff_ppm"]
+        ).to_pylist() == want_clu.to_pylist()
+
+    # reuse wipe: write a stray parquet, rewrite, stray must be gone
+    import os
+    stray = str(tmp_path / "tri0" / "stale.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    triangle_counts(ds, broadcast_threshold=0,
+                    out_dir=str(tmp_path / "tri0"))
+    assert not os.path.exists(stray)
+    assert readback(str(tmp_path / "tri0")).select(
+        ["node", "tri_count"]).to_pylist() == want_tri.to_pylist()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        triangle_counts(ds, return_degrees=True, out_dir=str(tmp_path))
