@@ -176,12 +176,22 @@ def _attach_pair_sizes(pairs_ds, sizes_ds):
 def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
                       num_bands: int = 16,
                       threshold: float = 0.8,
-                      join_partitions: int = 8) -> pa.Table:
+                      join_partitions: int = 8,
+                      return_dataset: bool = False
+                      ) -> "pa.Table | rd.Dataset":
     """MinHash banding candidates, exact-Jaccard verified.
 
     Returns (a, b, jaccard) sorted. Verification is a bucketed join:
     candidate pairs hash-join back to per-doc shingle-hash sets (a
     Dataset, never a driver-side map), then exact Jaccard per pair.
+
+    ``return_dataset=True`` returns the verified-pairs DATASET
+    (materialized in the object store, unsorted) instead of the
+    sorted driver table — the form compositions consume
+    (dedup_clusters feeds it straight into build_graph): the pair
+    count is near-dup-bounded in honest corpora but UNBOUNDED in
+    adversarial ones, so the scale path must never require the pair
+    table to fit on the driver.
 
     ``join_partitions`` sizes the three hash joins (bucket self-join
     for candidates, two pair->shingle-set joins for verification).
@@ -307,6 +317,11 @@ def minhash_lsh_pairs(docs, n: int = 3, num_perm: int = 128,
 
     out = joined.map_batches(verify, batch_format="pyarrow",
                              zero_copy_batch=True)
+    if return_dataset:
+        # materialize: the verify DAG holds two join pools — cutting
+        # here keeps downstream consumers (graph build) from
+        # overlapping their shuffles with it
+        return out.materialize()
     res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return res.sort_by([("a", "ascending"), ("b", "ascending")])
 
@@ -345,13 +360,25 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
     from ..graph.components import connected_components
 
     ds = _to_ds(docs)
-    pairs = minhash_lsh_pairs(ds, n=n, num_perm=num_perm,
-                              num_bands=num_bands, threshold=threshold,
-                              join_partitions=join_partitions)
-    pair_edges = rd.from_arrow(pa.table({
-        "src": pc.cast(pairs.column("a"), pa.string()),
-        "dst": pc.cast(pairs.column("b"), pa.string()),
-    }))
+    # Dataset form: the verified pair table never round-trips the
+    # driver (it is near-dup-bounded in honest corpora but unbounded
+    # in adversarial ones) — it flows from the verify join's output
+    # blocks straight into the graph build
+    pairs_ds = minhash_lsh_pairs(ds, n=n, num_perm=num_perm,
+                                 num_bands=num_bands,
+                                 threshold=threshold,
+                                 join_partitions=join_partitions,
+                                 return_dataset=True)
+
+    def pair_to_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t.column("a"), pa.string()),
+            "dst": pc.cast(t.column("b"), pa.string()),
+        })
+
+    pair_edges = pairs_ds.map_batches(pair_to_edge,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
 
     def selfloop(t: pa.Table) -> pa.Table:
         d = pc.cast(t.column("doc_id"), pa.string())

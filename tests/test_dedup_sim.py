@@ -308,3 +308,18 @@ def test_label_centroids_matches_duckdb_and_numpy():
     want = np.round(m[lab == l0].mean(axis=0), 6)
     have = got[got["label"] == l0].sort_values("dim")["centroid"].to_numpy()
     assert np.array_equal(have, want)
+
+
+def test_minhash_lsh_pairs_dataset_form_matches_table():
+    """return_dataset=True yields the same verified pairs as the
+    sorted driver table (the composition form dedup_clusters feeds
+    into build_graph without a driver round-trip)."""
+    want = minhash_lsh_pairs(_dup_docs(), threshold=0.5).to_pylist()
+    ds = minhash_lsh_pairs(_dup_docs(), threshold=0.5,
+                           return_dataset=True)
+    import ray.data as rd
+    assert isinstance(ds, rd.Dataset)
+    got = sorted(ds.to_pandas().itertuples(index=False),
+                 key=lambda r: (r.a, r.b))
+    want_t = [(r["a"], r["b"], r["jaccard"]) for r in want]
+    assert [(r.a, r.b, r.jaccard) for r in got] == want_t
