@@ -351,6 +351,50 @@ def bench_graph_extras() -> dict:
             "rows": d.num_rows + kc.num_rows}
 
 
+def _ensure_scc_reverse(n: int, m: int, P: int) -> str:
+    """Reverse layout of the cached DIRECTED power-law graph (same
+    ids, src/dst swapped) — scc_labels_prebuilt needs both."""
+    import numpy as np
+
+    from pagerank_ray.graph.build import build_graph_from_ids
+
+    rdir = f"{CACHE}/pl_rev_n{n}_m{m}_P{P}"
+    if not os.path.exists(os.path.join(rdir, "meta.json")):
+        rng = np.random.RandomState(42)   # same graph as _ensure_powerlaw
+        src = rng.randint(0, n, m)
+        dst = (rng.zipf(1.3, m) - 1) % n
+        build_graph_from_ids(dst, src, rdir, num_parts=P,
+                             undirected=False)
+    return rdir
+
+
+def bench_scc() -> dict:
+    """SCC on the directed 10M-edge power-law graph (cached prebuilt
+    fwd/rev layouts; pool creation + shard load warmed untimed like
+    cc_scale): pivot-min fwd/bwd propagations restricted to the alive
+    subgraph, with the WORKER-SIDE intersection — O(1) driver bytes
+    per outer round."""
+    import ray
+
+    from pagerank_ray.graph.actors import kill_workers
+    from pagerank_ray.graph.scc import (create_scc_workers,
+                                        scc_labels_prebuilt)
+
+    fdir = _ensure_powerlaw(CC_N, CC_M, 32, undirected=False)
+    rdir = _ensure_scc_reverse(CC_N, CC_M, 32)
+    Wf, Wr = create_scc_workers(fdir, rdir)
+    ray.get([w.ping.remote() for w in Wf + Wr])  # untimed shard load
+    try:
+        t0 = time.time()
+        res = scc_labels_prebuilt(fdir, rdir, workers=(Wf, Wr))
+        dt = time.time() - t0
+    finally:
+        kill_workers(Wf)
+        kill_workers(Wr)
+    return {"sec": dt, "edges": CC_M,
+            "sccs": len(set(res.column("root").to_pylist()))}
+
+
 def _ensure_skewed_edges(m: int = 20_000_000) -> str:
     """Edge table with a DELIBERATE hot key: ~30% of all edges point
     at one hub (the synth corpus's "menu" pattern at adversarial
@@ -437,6 +481,7 @@ COMPONENTS = {
     "membw": bench_membw,
     "cc_scale": bench_cc_scale,
     "graph_extras": bench_graph_extras,
+    "scc": bench_scc,
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,

@@ -113,6 +113,9 @@ class ShardState:
         self.v = None
         self.labels = None
         self.active = None
+        # nodes excluded from label updates in cc_step2 (SCC resolved
+        # mask; None for CC/BFS/k-core/LPA)
+        self.frozen = None
 
     def frontier_edges(self) -> np.ndarray:
         """Edge indices (CSR order) whose src changed last round."""
@@ -345,36 +348,10 @@ class GraphWorker:
             sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
                 + sh.part
             sh.active = None  # None -> full frontier first round
+            sh.frozen = None
         # dense exchange buffer allocated lazily in cc_step1 (sparse
         # rounds never need it)
         return sum(sh.n_local for sh in self.shards)
-
-    def minprop_init(self, dead_ids=None) -> int:
-        """Directed min-label propagation restricted to ALIVE
-        originators (the SCC driver's per-round building block):
-        alive nodes start with their own id, dead (already-resolved)
-        nodes start at the INF sentinel n and originate nothing — but
-        they RELAY smaller labels that reach them (the delta frontier
-        activates them on change), which is sound for SCC resolution:
-        fwd/bwd certify reachability in the ORIGINAL graph either
-        way. dead_ids=None -> plain directed min propagation."""
-        self._msg_incr = np.int64(0)
-        dead = None if dead_ids is None else \
-            np.asarray(dead_ids, dtype=np.int64)
-        total = 0
-        for sh in self.shards:
-            sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
-                + sh.part
-            sh.active = None
-            if dead is not None and len(dead):
-                mine = dead[dead % self.P == sh.part] // self.P
-                mine = mine[mine < sh.n_local]
-                sh.labels[mine] = np.int64(self.n)
-                act = np.ones(sh.n_local, dtype=bool)
-                act[mine] = False
-                sh.active = act
-            total += sh.n_local
-        return total
 
     # -------- SCC per-shard outer-loop state (worker-side) ------------
     #
@@ -396,8 +373,17 @@ class GraphWorker:
     def minprop_init_masked(self) -> int:
         """minprop_init driven by the per-shard resolved mask instead
         of a broadcast dead-id list: alive nodes originate their own
-        id, resolved nodes start at the INF sentinel n and only relay
-        (dead-relay rounds — sound for SCC, see graph/scc.py)."""
+        id; resolved nodes hold the INF sentinel n and are FROZEN —
+        they neither originate nor relay (cc_step2 skips them via
+        sh.frozen). Sound AND complete for SCC: an alive path between
+        alive nodes can never need a dead hop (a dead node on a cycle
+        with alive nodes would have resolved that whole cycle into
+        its own SCC), the min-alive SCC's internal paths are all
+        alive so it still resolves every round, and late rounds now
+        propagate over the SHRINKING alive subgraph instead of
+        re-flooding the dead giant component (the round-4 dead-relay
+        variant re-paid ~the full-graph propagation every outer
+        round)."""
         self._msg_incr = np.int64(0)
         total = 0
         for sh in self.shards:
@@ -407,8 +393,10 @@ class GraphWorker:
             if res.any():
                 sh.labels[res] = np.int64(self.n)
                 sh.active = ~res
+                sh.frozen = res
             else:
                 sh.active = None
+                sh.frozen = None
             total += sh.n_local
         return total
 
@@ -494,6 +482,7 @@ class GraphWorker:
             sh.labels[mine] = 0
             sh.active = np.zeros(sh.n_local, dtype=bool)
             sh.active[mine] = True
+            sh.frozen = None
             found += len(mine)
         return found
 
@@ -582,6 +571,8 @@ class GraphWorker:
         for sh in self.shards:
             c = combined[sh.part]
             changed = c < sh.labels
+            if sh.frozen is not None:
+                changed &= ~sh.frozen  # frozen nodes never relay
             sh.labels = np.where(changed, c, sh.labels)
             sh.active = changed
             changed_total += int(changed.sum())
@@ -603,6 +594,8 @@ class GraphWorker:
                 else:
                     np.minimum(combined, p[lo:hi], out=combined)
             changed = combined < sh.labels
+            if sh.frozen is not None:
+                changed &= ~sh.frozen  # frozen nodes never relay
             sh.labels = np.where(changed, combined, sh.labels)
             sh.active = changed
             changed_total += int(changed.sum())
@@ -623,6 +616,7 @@ class GraphWorker:
         removed = 0
         for sh in self.shards:
             sh.labels = sh.outdeg.astype(np.int64)
+            sh.frozen = None
             sh._alive = np.ones(sh.n_local, dtype=bool)
             first = sh.labels < self._kcore_k
             sh.active = first          # removal frontier for step1
@@ -716,6 +710,7 @@ class GraphWorker:
         for sh in self.shards:
             sh.labels = np.arange(sh.n_local, dtype=np.int64) * self.P \
                 + sh.part
+            sh.frozen = None
         return sum(sh.n_local for sh in self.shards)
 
     def lpa_step1(self):

@@ -104,11 +104,10 @@ def scc_labels(edges, num_parts: int = 4,
                          "root": pa.array([], pa.string())})
 
     work = tempfile.mkdtemp(prefix="scc_")
-    Wf = Wr = None
     try:
         fdir = f"{work}/fwd"
         rdir = f"{work}/rev"
-        meta = gb.build_graph(ds, fdir, num_parts=num_parts)
+        gb.build_graph(ds, fdir, num_parts=num_parts)
 
         def swap(t: pa.Table) -> pa.Table:
             return pa.table({"src": t.column("dst"),
@@ -117,25 +116,78 @@ def scc_labels(edges, num_parts: int = 4,
         gb.build_graph(ds.map_batches(swap, batch_format="pyarrow",
                                       zero_copy_batch=True),
                        rdir, num_parts=num_parts)
+        return scc_labels_prebuilt(
+            fdir, rdir, max_outer=max_outer, exchange=exchange,
+            num_workers=num_workers, out_dir=out_dir,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, resume=resume,
+            stop_after=stop_after)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def create_scc_workers(fdir: str, rdir: str,
+                       num_workers: int | None = None):
+    """The twin worker pools scc_labels_prebuilt runs on — exposed so
+    services/benchmarks can create (and warm) them untimed and reuse
+    them across calls. Both pools persist across rounds but never
+    compute at the same time (fwd then bwd sequentially) — half a CPU
+    each lets them coexist on any cluster size instead of the second
+    pool deadlocking on a fully-reserved CPU budget. The SAME
+    num_workers on both is load-bearing: twin alignment (worker i of
+    each pool owns the same shard ids) is what makes the worker-side
+    intersection correct."""
+    meta = gb.read_meta(fdir)
+    if num_workers is None:
+        avail = int(ray.cluster_resources().get("CPU", 1))
+        num_workers = max(1, min(meta["num_parts"], avail))
+    Wf = create_workers(fdir, meta, num_workers=num_workers,
+                        num_cpus_per_worker=0.5)[0]
+    Wr = create_workers(rdir, gb.read_meta(rdir),
+                        num_workers=num_workers,
+                        num_cpus_per_worker=0.5)[0]
+    return Wf, Wr
+
+
+def scc_labels_prebuilt(fdir: str, rdir: str,
+                        max_outer: int = 10_000,
+                        exchange: str = "auto",
+                        num_workers: int | None = None,
+                        workers=None,
+                        out_dir: str | None = None,
+                        checkpoint_dir: str | None = None,
+                        checkpoint_every: int = 0,
+                        resume: bool = False,
+                        stop_after: int | None = None
+                        ) -> pa.Table | dict | None:
+    """scc_labels over PRE-BUILT forward/reverse layouts (``rdir``
+    must be ``fdir`` with src/dst swapped — same node set, same
+    sorted-name id assignment, same num_parts). The form benchmarks
+    and resumable services use: layout build cost is paid once, the
+    pivot-min rounds run against cached shards. ``workers``: a
+    (Wf, Wr) pair from create_scc_workers to reuse (caller owns
+    their lifetime); otherwise pools are created and killed here."""
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
+    meta = gb.read_meta(fdir)
+    rmeta = gb.read_meta(rdir)
+    if rmeta["n"] != meta["n"] or \
+            rmeta["num_parts"] != meta["num_parts"]:
+        raise ValueError(
+            f"layout mismatch: fwd n={meta['n']}/P={meta['num_parts']}"
+            f" vs rev n={rmeta['n']}/P={rmeta['num_parts']} — rdir "
+            f"must be fdir with src/dst swapped")
+    num_parts = meta["num_parts"]
+    own = workers is None
+    Wf = Wr = None
+    try:
         n = meta["n"]
         if exchange == "auto":
             exchange = "split" if n > 32_000_000 else "concat"
-        if num_workers is None:
-            avail = int(ray.cluster_resources().get("CPU", 1))
-            num_workers = max(1, min(num_parts, avail))
-
-        # both pools persist across rounds but never compute at the
-        # same time (fwd then bwd sequentially) — half a CPU each lets
-        # the two pools coexist on any cluster size instead of the
-        # second pool deadlocking on a fully-reserved CPU budget.
-        # EXPLICIT num_workers on both: twin alignment (worker i of
-        # each pool owns the same shard ids) is what makes the
-        # worker-side intersection correct.
-        Wf = create_workers(fdir, meta, num_workers=num_workers,
-                            num_cpus_per_worker=0.5)[0]
-        Wr = create_workers(rdir, gb.read_meta(rdir),
-                            num_workers=num_workers,
-                            num_cpus_per_worker=0.5)[0]
+        if own:
+            Wf, Wr = create_scc_workers(fdir, rdir, num_workers)
+        else:
+            Wf, Wr = workers
         A = len(Wf)
         assert len(Wr) == A, "twin pools must align worker-for-worker"
 
@@ -216,7 +268,7 @@ def scc_labels(edges, num_parts: int = 4,
                              pa.string()),
         })
     finally:
-        for W in (Wf, Wr):
-            if W:
-                kill_workers(W)
-        shutil.rmtree(work, ignore_errors=True)
+        if own:
+            for W in (Wf, Wr):
+                if W:
+                    kill_workers(W)
