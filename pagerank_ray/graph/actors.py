@@ -368,6 +368,8 @@ class GraphWorker:
         for sh in self.shards:
             sh.scc_resolved = np.zeros(sh.n_local, dtype=bool)
             sh.scc_roots = np.full(sh.n_local, -1, dtype=np.int64)
+            # resolved-but-not-yet-degree-decremented (trim waves)
+            sh._scc_pending = None
         return sum(sh.n_local for sh in self.shards)
 
     def minprop_init_masked(self) -> int:
@@ -420,6 +422,9 @@ class GraphWorker:
             new = (~sh.scc_resolved) & (f == bwd) & (f < self.n)
             sh.scc_roots[new] = f[new]
             sh.scc_resolved |= new
+            if new.any():
+                sh._scc_pending = new if sh._scc_pending is None \
+                    else (sh._scc_pending | new)
             new_total += int(new.sum())
         return new_total, [sh.scc_resolved.copy() for sh in self.shards]
 
@@ -429,10 +434,108 @@ class GraphWorker:
 
     def scc_set_masks(self, masks) -> None:
         """Adopt the twin's resolved masks (reverse-layout workers
-        never intersect; they only need the mask for the next
-        minprop_init_masked)."""
+        never intersect; they need the mask for the next
+        minprop_init_masked and the DIFF vs their previous mask as the
+        pending set for the next decrement wave — each node enters
+        pending exactly once because resolution is monotone)."""
         for sh, m in zip(self.shards, masks):
-            sh.scc_resolved = np.asarray(m, dtype=bool)
+            m = np.asarray(m, dtype=bool)
+            diff = m & ~sh.scc_resolved
+            if diff.any():
+                sh._scc_pending = diff if sh._scc_pending is None \
+                    else (sh._scc_pending | diff)
+            sh.scc_resolved = m
+
+    # ---- SCC trim (FW-BW-Trim): peel zero-alive-degree singletons ----
+    #
+    # An alive node with zero ALIVE in-degree or out-degree (and no
+    # self-loop contribution keeping both nonzero) cannot sit on any
+    # cycle of alive nodes, and cycles through dead nodes are
+    # impossible (they would have resolved with the dead SCC) — so it
+    # is a singleton SCC, root = itself. Peeling is iterative: each
+    # resolution decrements neighbor degrees via (tgt, count) waves on
+    # BOTH layouts (fwd wave -> targets' in-degree, rev wave ->
+    # sources' out-degree; target slots are the shared concat space,
+    # so Wr's messages apply directly on Wf's state). Degree state
+    # lives on the FORWARD shards; waves are frontier-proportional.
+
+    def shard_outdegs(self):
+        """This worker's per-shard (multigraph) out-degree arrays —
+        in the REVERSE layout these are the forward twin's
+        in-degrees; shipped once at trim init."""
+        return [sh.outdeg.astype(np.int64) for sh in self.shards]
+
+    def scc_trim_init(self, twin_outdegs) -> None:
+        for sh, ind in zip(self.shards, twin_outdegs):
+            sh.scc_outdeg_alive = sh.outdeg.astype(np.int64).copy()
+            sh.scc_indeg_alive = np.asarray(ind,
+                                            dtype=np.int64).copy()
+
+    def scc_trim_select(self):
+        """Resolve every alive node whose alive in- or out-degree is
+        zero (root = itself); returns (count, cumulative resolved
+        masks) — call with num_returns=2, masks flow to the reverse
+        twin's scc_set_masks."""
+        total = 0
+        masks = []
+        for sh in self.shards:
+            m = (~sh.scc_resolved) & ((sh.scc_indeg_alive == 0)
+                                      | (sh.scc_outdeg_alive == 0))
+            if m.any():
+                ids = np.flatnonzero(m).astype(np.int64) * self.P \
+                    + sh.part
+                sh.scc_roots[m] = ids
+                sh.scc_resolved |= m
+                sh._scc_pending = m if sh._scc_pending is None \
+                    else (sh._scc_pending | m)
+                total += int(m.sum())
+            masks.append(sh.scc_resolved.copy())
+        return total, masks
+
+    def scc_emit_decrements(self):
+        """One (tgt, count) decrement wave over this layout's edges
+        from the pending (newly-resolved) set; clears pending.
+        Frontier-proportional, kc_step1's exchange shape."""
+        tgts = []
+        for sh in self.shards:
+            m = sh._scc_pending
+            sh._scc_pending = None
+            if m is None or not m.any():
+                continue
+            srcs = np.flatnonzero(m)
+            starts = sh.indptr[srcs]
+            counts = sh.indptr[srcs + 1] - starts
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            sel = np.repeat(starts + counts - counts.cumsum(), counts) \
+                + np.arange(total)
+            tgts.append(sh.offs[sh.dst_part[sel]] + sh.dst_local[sel])
+        if not tgts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        tgt, cnt = np.unique(np.concatenate(tgts), return_counts=True)
+        return tgt, cnt.astype(np.int64)
+
+    def _scc_apply_dec(self, partial_refs, attr: str) -> None:
+        pairs = ray.get(list(partial_refs)) if partial_refs and \
+            isinstance(partial_refs[0], ray.ObjectRef) else partial_refs
+        for sh in self.shards:
+            lo, hi = self.offs[sh.part], self.offs[sh.part + 1]
+            arr = getattr(sh, attr)
+            for tgt, cnt in pairs:
+                i0 = np.searchsorted(tgt, lo)
+                i1 = np.searchsorted(tgt, hi)
+                np.subtract.at(arr, tgt[i0:i1] - lo, cnt[i0:i1])
+
+    def scc_apply_indeg_dec(self, partial_refs) -> None:
+        """Apply a FORWARD-layout wave: fwd edges point at receivers'
+        in-degree."""
+        self._scc_apply_dec(partial_refs, "scc_indeg_alive")
+
+    def scc_apply_outdeg_dec(self, partial_refs) -> None:
+        """Apply a REVERSE-layout wave: rev edges point at the
+        original sources, whose out-degree drops."""
+        self._scc_apply_dec(partial_refs, "scc_outdeg_alive")
 
     def scc_finalize(self) -> None:
         """labels := roots, so collect_labels / the distributed label
@@ -455,13 +558,17 @@ class GraphWorker:
 
     def scc_load(self, ckpt_dir: str, rnd: int) -> int:
         """Load per-shard SCC state; returns this worker's resolved
-        count (the driver re-derives resolved_total as a sum)."""
+        count (the driver re-derives resolved_total as a sum).
+        pending := resolved so the first post-resume decrement wave
+        rebuilds the alive-degree arrays from scratch."""
         total = 0
         for sh in self.shards:
             z = np.load(os.path.join(ckpt_dir, f"round={rnd}",
                                      f"part-{sh.part}.npz"))
             sh.scc_resolved = z["resolved"]
             sh.scc_roots = z["roots"]
+            sh._scc_pending = sh.scc_resolved.copy() \
+                if sh.scc_resolved.any() else None
             total += int(sh.scc_resolved.sum())
         return total
 

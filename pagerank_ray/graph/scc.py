@@ -198,6 +198,34 @@ def scc_labels_prebuilt(fdir: str, rdir: str,
                 {"algorithm": "scc", "round": r, "converged": converged,
                  "num_parts": num_parts, "n": n})
 
+        def wave() -> None:
+            """One decrement wave from each pool's pending set: fwd
+            edges decrement targets' alive IN-degree, rev edges
+            decrement original sources' alive OUT-degree (degree
+            state lives on the forward shards; both use the shared
+            concat slot space). Frontier-proportional bytes."""
+            fwd = [w.scc_emit_decrements.remote() for w in Wf]
+            ray.get([w.scc_apply_indeg_dec.remote(fwd) for w in Wf])
+            rev = [w.scc_emit_decrements.remote() for w in Wr]
+            ray.get([w.scc_apply_outdeg_dec.remote(rev) for w in Wf])
+
+        def trim_fixpoint() -> int:
+            """Peel zero-alive-degree singleton SCCs to fixpoint
+            (root = self); each peel round is one select + one wave —
+            the cheap path for the post-giant-SCC singleton tail that
+            pivot rounds would otherwise re-propagate over."""
+            got = 0
+            while True:
+                pairs = [w.scc_trim_select.options(
+                    num_returns=2).remote() for w in Wf]
+                cnt = sum(ray.get([p[0] for p in pairs]))
+                if cnt == 0:
+                    return got
+                ray.get([Wr[i].scc_set_masks.remote(pairs[i][1])
+                         for i in range(A)])
+                got += cnt
+                wave()
+
         ray.get([w.scc_reset.remote() for w in Wf + Wr])
         resolved_total = 0
         rounds = 0
@@ -220,6 +248,17 @@ def scc_labels_prebuilt(fdir: str, rdir: str,
             mask_refs = [w.scc_masks_out.remote() for w in Wf]
             ray.get([Wr[i].scc_set_masks.remote(mask_refs[i])
                      for i in range(A)])
+
+        # trim init: reverse-layout out-degrees ARE the forward
+        # in-degrees; shipped once as per-twin objects. On resume the
+        # loaded resolved set is pending on both pools, so the first
+        # wave rebuilds the alive-degree arrays exactly.
+        outdeg_refs = [w.shard_outdegs.remote() for w in Wr]
+        ray.get([Wf[i].scc_trim_init.remote(outdeg_refs[i])
+                 for i in range(A)])
+        if resume and resolved_total:
+            wave()
+        resolved_total += trim_fixpoint()
 
         done_this_call = 0
         while resolved_total < n:
@@ -251,6 +290,8 @@ def scc_labels_prebuilt(fdir: str, rdir: str,
             if checkpoint_dir and checkpoint_every and \
                     rounds % checkpoint_every == 0:
                 checkpoint(rounds, converged=False)
+            wave()
+            resolved_total += trim_fixpoint()
         if checkpoint_dir:
             checkpoint(rounds, converged=True)
 

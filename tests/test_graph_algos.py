@@ -544,11 +544,21 @@ def test_scc_checkpoint_resume_and_sink(tmp_path):
 
     from .oracle import scc_oracle
 
-    rng = np.random.RandomState(29)
-    src = rng.randint(0, 60, 300).astype(str)
-    dst = rng.randint(0, 60, 300).astype(str)
-    edges = pa.table({"src": pa.array(src.astype(object), pa.string()),
-                      "dst": pa.array(dst.astype(object), pa.string())})
+    # a CHAIN of 3-cycles (lexicographically increasing names):
+    # pivot-min resolves exactly one cycle level per outer round and
+    # the trim phase cannot peel cycles, so stop_after=1 genuinely
+    # stops mid-run (a random graph's singleton tail now trims away
+    # before the first pivot round)
+    pairs = []
+    tags = ["a", "b", "c", "d"]
+    for i, tag in enumerate(tags):
+        pairs += [(f"{tag}0", f"{tag}1"), (f"{tag}1", f"{tag}2"),
+                  (f"{tag}2", f"{tag}0")]
+        if i + 1 < len(tags):
+            pairs.append((f"{tag}2", f"{tags[i + 1]}0"))
+    edges = pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string())})
     want = scc_oracle(_pairs(edges))
 
     ck = str(tmp_path / "ck")
@@ -666,3 +676,27 @@ def test_triangles_clustering_sink_and_partitioned(tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         triangle_counts(ds, return_degrees=True, out_dir=str(tmp_path))
+
+
+def test_scc_trim_only_dag():
+    """A pure DAG (no cycles) resolves entirely through the trim
+    phase — every node is its own SCC — and matches Kosaraju."""
+    import pyarrow as pa
+
+    from pagerank_ray.graph.scc import scc_labels
+
+    from .oracle import scc_oracle
+
+    rng = np.random.RandomState(31)
+    # random DAG: edges only from lower to higher node index
+    lo = rng.randint(0, 50, 200)
+    hi = lo + 1 + rng.randint(0, 20, 200)
+    pairs = [(f"v{a:03d}", f"v{b:03d}") for a, b in zip(lo, hi)]
+    edges = pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string())})
+    res = scc_labels(edges, num_parts=3)
+    got = {r["node"]: r["root"] for r in res.to_pylist()}
+    want = scc_oracle(pairs)
+    assert got == want
+    assert all(k == v for k, v in got.items())  # all singletons
