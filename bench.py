@@ -49,17 +49,25 @@ PR_ITERS = 15
 SPLIT_N, SPLIT_M = 40_000_000, 60_000_000  # n > 32M => exchange=split
 
 
-def _ensure_powerlaw(n: int, m: int, P: int, undirected: bool) -> str:
+def _powerlaw_edges(n: int, m: int):
+    """THE bench graph's (src, dst) draw — single source of truth so
+    the forward and reverse cached layouts can never silently stop
+    being transposes of the same graph."""
     import numpy as np
 
+    rng = np.random.RandomState(42)
+    src = rng.randint(0, n, m)
+    dst = (rng.zipf(1.3, m) - 1) % n  # heavy-head in-degree skew
+    return src, dst
+
+
+def _ensure_powerlaw(n: int, m: int, P: int, undirected: bool) -> str:
     from pagerank_ray.graph.build import build_graph_from_ids
 
     tag = "und" if undirected else "dir"
     gdir = f"{CACHE}/pl_{tag}_n{n}_m{m}_P{P}"
     if not os.path.exists(os.path.join(gdir, "meta.json")):
-        rng = np.random.RandomState(42)
-        src = rng.randint(0, n, m)
-        dst = (rng.zipf(1.3, m) - 1) % n  # heavy-head in-degree skew
+        src, dst = _powerlaw_edges(n, m)
         build_graph_from_ids(src, dst, gdir, num_parts=P,
                              undirected=undirected)
     return gdir
@@ -354,15 +362,11 @@ def bench_graph_extras() -> dict:
 def _ensure_scc_reverse(n: int, m: int, P: int) -> str:
     """Reverse layout of the cached DIRECTED power-law graph (same
     ids, src/dst swapped) — scc_labels_prebuilt needs both."""
-    import numpy as np
-
     from pagerank_ray.graph.build import build_graph_from_ids
 
     rdir = f"{CACHE}/pl_rev_n{n}_m{m}_P{P}"
     if not os.path.exists(os.path.join(rdir, "meta.json")):
-        rng = np.random.RandomState(42)   # same graph as _ensure_powerlaw
-        src = rng.randint(0, n, m)
-        dst = (rng.zipf(1.3, m) - 1) % n
+        src, dst = _powerlaw_edges(n, m)  # same draw as _ensure_powerlaw
         build_graph_from_ids(dst, src, rdir, num_parts=P,
                              undirected=False)
     return rdir

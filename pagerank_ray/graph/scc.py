@@ -118,6 +118,18 @@ def scc_labels(edges, num_parts: int = 4,
         raise ValueError("resume=True requires checkpoint_dir")
     ds = _to_ds(edges).materialize()
     if ds.count() == 0:
+        # honor the out_dir/checkpoint contracts on the degenerate
+        # input too: a reused out_dir must not serve a stale run's
+        # parquet, and the caller-facing return type must match
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            gb._atomic_write_json(
+                os.path.join(checkpoint_dir, "manifest.json"),
+                {"algorithm": "scc", "round": 0, "converged": True,
+                 "num_parts": num_parts, "n": 0})
+        if out_dir is not None:
+            from .sink import write_empty_result
+            return write_empty_result(out_dir, "label")
         return pa.table({"node": pa.array([], pa.string()),
                          "root": pa.array([], pa.string())})
 
@@ -308,8 +320,12 @@ def scc_labels_prebuilt(fdir: str, rdir: str,
             if checkpoint_dir and checkpoint_every and \
                     rounds % checkpoint_every == 0:
                 checkpoint(rounds, converged=False)
-            wave()
-            resolved_total += trim_fixpoint()
+            if resolved_total < n:
+                # skip the post-resolution wave when the LAST pivot
+                # round finished the graph — it would emit a full
+                # discarded decrement pass over that SCC's edges
+                wave()
+                resolved_total += trim_fixpoint()
         if checkpoint_dir:
             checkpoint(rounds, converged=True)
 

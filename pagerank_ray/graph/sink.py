@@ -26,15 +26,59 @@ import ray
 from . import build as gb
 
 
+SUCCESS_MARKER = "_SUCCESS.json"
+
+
 def wipe_parquet_dir(out_dir: str) -> None:
-    """Remove stale parquet/tmp files so a reused out_dir never holds
-    a mix of two runs' files (Dataset.write_parquet appends
-    uniquely-named files; this is the manifest-less counterpart of the
-    fingerprint discipline below)."""
+    """Remove stale parquet/tmp files (and any commit marker) so a
+    reused out_dir never holds a mix of two runs' files
+    (Dataset.write_parquet appends uniquely-named files). The marker
+    goes FIRST: a crash mid-wipe must leave the dir uncommitted."""
     if os.path.isdir(out_dir):
+        marker = os.path.join(out_dir, SUCCESS_MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
         for f in os.listdir(out_dir):
             if f.endswith(".parquet") or ".tmp" in f:
                 os.remove(os.path.join(out_dir, f))
+
+
+def sink_dataset(ds, out_dir: str) -> None:
+    """Crash-safe sharded-parquet sink for Dataset/Table results that
+    don't ride the per-shard worker sink below: wipe stale files,
+    stream the blocks to parquet, then commit a ``_SUCCESS.json``
+    listing the files written. Without the marker a job that dies
+    mid-write leaves a plausible-looking PARTIAL file set; readers
+    that go through ``read_sunk_dataset`` refuse an uncommitted dir.
+    (pyarrow dataset discovery ignores ``_``-prefixed files, so plain
+    read_parquet over the dir keeps working too.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    wipe_parquet_dir(out_dir)
+    if isinstance(ds, pa.Table):
+        ds = rd.from_arrow(ds)
+    ds.write_parquet(out_dir)
+    files = sorted(f for f in os.listdir(out_dir)
+                   if f.endswith(".parquet"))
+    gb._atomic_write_json(os.path.join(out_dir, SUCCESS_MARKER),
+                          {"files": files})
+
+
+def read_sunk_dataset(out_dir: str):
+    """Read back a ``sink_dataset`` result; raises if the writing run
+    never committed (marker absent => partial/no data)."""
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, SUCCESS_MARKER)
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            f"{out_dir}: no {SUCCESS_MARKER} — the writing run did "
+            f"not complete; any parquet present may be partial")
+    with open(marker) as f:
+        files = json.load(f)["files"]
+    return rd.read_parquet([os.path.join(out_dir, f) for f in files])
 
 
 def write_result_distributed(workers, out_dir: str, kind: str) -> dict:
@@ -56,9 +100,7 @@ def write_result_distributed(workers, out_dir: str, kind: str) -> dict:
             old = json.load(f)
         same_run = old.get("fingerprint") == fp
     if not same_run:
-        for f in os.listdir(out_dir):
-            if f.endswith(".parquet") or ".tmp" in f:
-                os.remove(os.path.join(out_dir, f))
+        wipe_parquet_dir(out_dir)
     skip = [p for p in parts if same_run and os.path.exists(
         os.path.join(out_dir, f"part-{p:05d}.parquet"))]
 
@@ -66,6 +108,39 @@ def write_result_distributed(workers, out_dir: str, kind: str) -> dict:
              for w in workers])
     manifest = {"kind": kind, "fingerprint": fp, "partitions": parts,
                 "skipped": sorted(skip)}
+    gb._atomic_write_json(man_path, manifest)
+    return manifest
+
+
+def write_empty_result(out_dir: str, kind: str) -> dict:
+    """The write_result_distributed contract for an EMPTY graph (no
+    workers exist to write): wipe stale files, commit one empty part
+    with the worker sink's (id, node, <kind>) schema, and return the
+    manifest — so out_dir readers and reruns behave identically to the
+    non-empty path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, "manifest.json")
+    fp = hashlib.sha256(json.dumps([kind, []]).encode()).hexdigest()
+    same_run = False
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            same_run = json.load(f).get("fingerprint") == fp
+    if not same_run:
+        wipe_parquet_dir(out_dir)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    skip = same_run and os.path.exists(path)
+    if not skip:
+        t = pa.table({"id": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.string()),
+                      kind: pa.array([], pa.int64())})
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    manifest = {"kind": kind, "fingerprint": fp, "partitions": [0],
+                "skipped": [0] if skip else []}
     gb._atomic_write_json(man_path, manifest)
     return manifest
 

@@ -72,10 +72,9 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
     edges_ds = edges_ds.materialize()
     if edges_ds.count() > broadcast_threshold:
         if out_dir is not None:
-            from .sink import wipe_parquet_dir
+            from .sink import sink_dataset
             tri_ds, _ = _partitioned_datasets(edges_ds, want_deg=False)
-            wipe_parquet_dir(out_dir)
-            tri_ds.write_parquet(out_dir)
+            sink_dataset(tri_ds, out_dir)
             return None
         return _triangle_counts_partitioned(edges_ds, return_degrees)
     names = enc.distinct_nodes(edges_ds)
@@ -111,9 +110,8 @@ def triangle_counts(edges_ds, broadcast_threshold: int = 2_000_000,
     if out_dir is not None:
         # broadcast path is driver-safe by construction; write the
         # same way for interface parity
-        from .sink import wipe_parquet_dir
-        wipe_parquet_dir(out_dir)
-        rd.from_arrow(out).write_parquet(out_dir)
+        from .sink import sink_dataset
+        sink_dataset(out, out_dir)
         return None
     return (out, deg_tbl) if return_degrees else out
 
@@ -405,9 +403,8 @@ def clustering_coefficients(edges_ds,
             "coeff_ppm": pa.array(_ppm_from_arrays(tric, deg)),
         })
         if out_dir is not None:
-            from .sink import wipe_parquet_dir
-            wipe_parquet_dir(out_dir)
-            rd.from_arrow(out_tbl).write_parquet(out_dir)
+            from .sink import sink_dataset
+            sink_dataset(out_tbl, out_dir)
             return None
         return out_tbl
 
@@ -448,9 +445,8 @@ def clustering_coefficients(edges_ds,
     out = joined.map_batches(ppm_map, batch_format="pyarrow",
                              zero_copy_batch=True)
     if out_dir is not None:
-        from .sink import wipe_parquet_dir
-        wipe_parquet_dir(out_dir)
-        out.write_parquet(out_dir)
+        from .sink import sink_dataset
+        sink_dataset(out, out_dir)
         return None
     tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return tbl.sort_by([("node", "ascending")])

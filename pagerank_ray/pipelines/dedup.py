@@ -443,11 +443,11 @@ def dedup_clusters(docs, n: int = 3, num_perm: int = 128,
     out = joined.map_batches(pick, batch_format="pyarrow",
                              zero_copy_batch=True)
     if out_dir is not None:
-        # wipe stale parquet first — a reused out_dir must never hold
-        # a mix of two runs' files (the graph/sink.py discipline)
-        from ..graph.sink import wipe_parquet_dir
-        wipe_parquet_dir(out_dir)
-        out.write_parquet(out_dir)
+        # crash-safe sink: stale-wipe + _SUCCESS.json commit marker
+        # (the graph/sink.py discipline) — a killed run must not leave
+        # a partial file set that reads back as a complete result
+        from ..graph.sink import sink_dataset
+        sink_dataset(out, out_dir)
         return None
     res = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return res.sort_by([("doc_id", "ascending")])
