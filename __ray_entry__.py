@@ -423,6 +423,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.graph.triangles import clustering_coefficients
         return clustering_coefficients(edges_from_events(sf_dir))
 
+    def q_hits_events(sf_dir):
+        """HITS hubs & authorities over the DIRECTED events graph
+        (engine extension, graph/hits.py): multiplicity-weighted
+        alternating power iteration on the SCC twin pools, L2
+        normalization, O(1) driver bytes per round. Float-iterative
+        surface — no SQL oracle (sanctioned rows-only, like the
+        PageRank surfaces); exactness is pytest-gated vs a numpy
+        power-iteration oracle (tests/test_hits.py, atol 1e-12)."""
+        _quiet()
+        from pagerank_ray.graph.hits import hits_scores
+        return hits_scores(edges_from_events(sf_dir), num_parts=4,
+                           max_iter=100, tol=1e-9)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -712,7 +725,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multi-round-green queries (token/quality/langid/fingerprint,
     # window aggs, hll, topk-per-lang, broadcast join, quantiles)
     # rotate to the tail so every query accumulates a driver-green
-    # row across rounds. No query was added or removed.
+    # row across rounds. hits_events is NEW this round (inserted at
+    # index 21, inside the window); it pushes range_join_events —
+    # hash-green in rounds 2, 3 and 4 — just past index 49 into the
+    # tail. Total is now 62.
     return {
         "edges_from_events": q_edges_from_events,
         "node_outdegree": q_node_outdegree,
@@ -735,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation_events": q_label_propagation_events,
         "triangles_events": q_triangles_events,
         "clustering_events": q_clustering_events,
+        "hits_events": q_hits_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,

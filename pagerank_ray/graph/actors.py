@@ -340,6 +340,36 @@ class GraphWorker:
             dot += float(sh.x_unnorm @ sh.a)
         return ss, dot
 
+    # ---------------- HITS (hubs & authorities, graph/hits.py) ------
+    #
+    # HITS reuses the PageRank exchange verbatim: with UNIT per-edge
+    # weights (parallel edges sum -> the multiplicity-weighted
+    # adjacency), zero personalization and q_scalar=0.0, pr_step1 /
+    # pr_step2 compute exactly y = M^T x. The forward layout's SpMV
+    # is the authority update (buf[dst] += h[src]); the REVERSE
+    # layout's SpMV is the hub update (buf[orig_src] += a[dst]).
+    # graph/hits.py alternates the two twin pools, each pool's x
+    # holding one of the two score vectors.
+
+    def hits_init(self) -> float:
+        """Set HITS state on this pool's shards; returns Σ x²
+        (pending-iterate norm partial — globally 1.0 by design)."""
+        ss = 0.0
+        for sh in self.shards:
+            sh.pr_aw = np.ones(len(sh.pr_w), dtype=np.float64)
+            sh.v = np.zeros(sh.n_local, dtype=np.float64)
+            sh.x_unnorm = np.full(sh.n_local, 1.0,
+                                  dtype=np.float64) / np.sqrt(self.n)
+            sh.x_prev = None
+            ss += float(sh.x_unnorm @ sh.x_unnorm)
+        return ss
+
+    def pr_normalize(self, s: float) -> float:
+        """Normalize the pending iterate into x_prev WITHOUT emitting
+        an exchange partial — the final HITS pass (pr_step1 would pay
+        a full discarded SpMV emit). Returns the residual partial."""
+        return self._advance_x(s)
+
     # -------- Connected components: hash-min, delta frontier ---------
 
     def cc_init(self) -> int:
