@@ -436,6 +436,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hits_scores(edges_from_events(sf_dir), num_parts=4,
                            max_iter=100, tol=1e-9)
 
+    def q_edge_support_events(sf_dir):
+        """Per-edge triangle support + exact-integer neighborhood
+        Jaccard over the undirected simple events graph (engine
+        extension, graph/truss.py — the reference has no edge-level
+        operators). (common_cnt, union_cnt) are kept as exact ints so
+        the cross-engine value hash is stable; jaccard =
+        common/union is the caller's one division."""
+        _quiet()
+        from pagerank_ray.graph.truss import edge_support
+        return edge_support(edges_from_events(sf_dir))
+
+    def q_ktruss_events(sf_dir):
+        """Maximal 3-truss of the undirected simple events graph
+        (engine extension, graph/truss.py): iterated
+        triangle-support peeling (Cohen's MapReduce truss algorithm),
+        support recomputed WITHIN the surviving set at the fixpoint.
+        The oracle unrolls a FIXED 8 peel rounds — fail loudly if the
+        real peel is deeper so the unroll gets raised, the
+        kcore_events discipline."""
+        _quiet()
+        from pagerank_ray.graph.truss import ktruss_edges
+        t, rounds = ktruss_edges(edges_from_events(sf_dir), k=3,
+                                 return_rounds=True)
+        assert rounds <= 8, \
+            f"k-truss peel depth {rounds} exceeds the oracle's " \
+            f"8-round unroll — bump _ktruss_sql(3, rounds)"
+        return t
+
+    def q_scc_condensation_events(sf_dir):
+        """Condensation DAG of a DETERMINISTICALLY SPARSIFIED events
+        graph (engine extension, graph/scc.py:scc_condensation): one
+        row per distinct (src_comp, dst_comp) pair of SCC roots
+        joined by an original edge, intra-component edges collapsed.
+        The full events graph is strongly connected at every test sf
+        (users repeat heavily), which would make the condensation
+        trivially empty — keeping edges with (src*31+dst) % 37 < 2
+        (exact integer arithmetic, replayed verbatim in the oracle)
+        yields a dozen-SCC graph with a real DAG at sf0.001/0.01.
+        Composition: worker-sunk SCC labels -> two partitioned edge
+        joins -> groupby-distinct -> root-name joins; the driver
+        holds only the O(C-DAG-edges) result."""
+        _quiet()
+        from pagerank_ray.graph.scc import scc_condensation
+
+        def sparsify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            import pyarrow.compute as _pc
+            s = _pc.cast(t.column("src"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = _pc.cast(t.column("dst"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array((s * 31 + d) % 37 < 2))
+
+        edges = edges_from_events(sf_dir).map_batches(
+            sparsify, batch_format="pyarrow", zero_copy_batch=True)
+        return scc_condensation(edges, num_parts=4)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -642,6 +700,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return promo_revenue_by_month(sf_dir)
 
+    def q_forecast_revenue(sf_dir):
+        """TPC-H Q6 shape (pipelines/warehouse.py:forecast_revenue):
+        pruned 4-column read, vectorized filter, scalar per-block
+        partials, NO shuffle. Revenue on the 2dp grid (the
+        pricing_summary discipline)."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import forecast_revenue
+        return forecast_revenue(sf_dir, year=1995,
+                                disc_lo=0.05, disc_hi=0.07,
+                                qty_lt=24.0)
+
     def q_bloom_pruned_order_lines(sf_dir):
         """Selective join with Bloom-pruned big side: the filter only
         reduces shuffle traffic, so the plain-join SQL is exact."""
@@ -660,6 +729,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return top_terms(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                          columns=["text"]), k=20)
+
+    def q_tfidf_top_terms(sf_dir):
+        """Per-doc top-5 terms by (tf DESC, term ASC) with global
+        document frequency — the exact-integer core of TF-IDF
+        (pipelines/textstats.py:tfidf_top_terms): one vectorized
+        arrow-group_by/lexsort pass for tf+rank, a vocabulary-sized
+        groupby for df, a partitioned join on only the top rows."""
+        _quiet()
+        from pagerank_ray.pipelines.textstats import tfidf_top_terms
+        return tfidf_top_terms(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), k=5)
 
     def q_stratified_sample_docs(sf_dir):
         """Deterministic per-language sha256 sampling (en 20%,
@@ -752,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_events": q_triangles_events,
         "clustering_events": q_clustering_events,
         "hits_events": q_hits_events,
+        "edge_support_events": q_edge_support_events,
+        "ktruss_events": q_ktruss_events,
+        "scc_condensation_events": q_scc_condensation_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -761,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "promo_revenue_by_month": q_promo_revenue_by_month,
+        "forecast_revenue": q_forecast_revenue,
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
@@ -775,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "label_centroids": q_label_centroids,
         "top_terms": q_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
@@ -955,6 +1041,43 @@ def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """k-truss as ``rounds`` UNROLLED peel steps: each round
+    re-enumerates triangles over the previous round's survivor edge
+    set (canonical u<v edges, so a.u<a.v and b.u=a.v give x<y<z —
+    every triangle appears exactly once) and keeps edges whose
+    support >= k-2. Peeling is monotone, so any rounds >= the real
+    peel depth yields the exact maximal k-truss (extra rounds are
+    no-ops); the engine wrapper asserts the real depth against this
+    unroll, the _kcore_sql discipline. The final round's support
+    table is computed over the fixpoint edge set, so the reported
+    support is support WITHIN the truss — the engine's semantics.
+    AS MATERIALIZED for the same anti-inlining reason as _kcore_sql
+    (each CTE is referenced multiple times downstream)."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM ({_EDGES}) WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT a.u AS x, a.v AS y, "
+            f"b.v AS z FROM e{p} a JOIN e{p} b ON b.u = a.v "
+            f"JOIN e{p} c ON c.u = a.u AND c.v = b.v)")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT u, v, COUNT(*) AS s "
+            f"FROM (SELECT x AS u, y AS v FROM t{i} "
+            f"UNION ALL SELECT x, z FROM t{i} "
+            f"UNION ALL SELECT y, z FROM t{i}) GROUP BY u, v)")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM s{i} "
+            f"WHERE s >= {k - 2})")
+    final = (f"SELECT e.u AS src, e.v AS dst, s.s AS support "
+             f"FROM e{rounds} e JOIN s{rounds} s "
+             f"ON s.u = e.u AND s.v = e.v")
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 def _lpa_sql(rounds: int = 10) -> str:
     """Synchronous LPA as ``rounds`` UNROLLED CTE steps (the round
     count is fixed, so no recursive CTE is needed — which also avoids
@@ -1049,6 +1172,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter.i >= 0.5 * (sa.sz + sb.sz - inter.i)
         """,
         "top_terms": TOP_TERMS_SQL.format(k=20),
+
+        # per-doc top-5 by (tf DESC, term ASC) is a TOTAL order (terms
+        # unique per doc), so row_number is deterministic; (tf, df)
+        # stay exact ints
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+'))
+                           AS term
+                FROM documents),
+                 tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                        FROM toks WHERE term <> ''
+                        GROUP BY doc_id, term),
+                 df AS (SELECT term, COUNT(*) AS df FROM tf
+                        GROUP BY term),
+                 ranked AS (SELECT doc_id, term, tf,
+                                   row_number() OVER (
+                                       PARTITION BY doc_id
+                                       ORDER BY tf DESC, term ASC)
+                                       AS rn
+                            FROM tf)
+            SELECT r.doc_id, r.term, r.tf, d.df
+            FROM ranked r JOIN df d ON d.term = r.term
+            WHERE rn <= 5
+        """,
         "stratified_sample_docs": stratified_sample_sql(
             {"en": 20, "de": 80}, 50),
         "redact_documents": REDACT_SQL,
@@ -1111,6 +1259,18 @@ def oracle_sql() -> dict[str, str]:
             region="ASIA", date_from="1996-01-01",
             date_to="1998-01-01"),
         "promo_revenue_by_month": PROMO_REVENUE_SQL,
+
+        # Q6 shape: one global filtered sum; 2dp grid both sides
+        "forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2)
+                       AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""
@@ -1283,6 +1443,69 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes
             LEFT JOIN deg ON deg.node = nodes.node
             LEFT JOIN cnt ON cnt.node = nodes.node
+        """,
+
+        # per-edge support: canonical u<v edges enumerate each
+        # triangle once (x<y<z); union_cnt = deg(u)+deg(v)-2-common
+        # (both endpoints exclude each other; self-loops dropped)
+        "edge_support_events": f"""
+            WITH e0 AS ({_EDGES}),
+                 e AS (SELECT DISTINCT least(src, dst) AS u,
+                              greatest(src, dst) AS v
+                       FROM e0 WHERE src <> dst),
+                 tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                         FROM e a
+                         JOIN e b ON b.u = a.v
+                         JOIN e c ON c.u = a.u AND c.v = b.v),
+                 te AS (SELECT x AS u, y AS v FROM tri
+                        UNION ALL SELECT x, z FROM tri
+                        UNION ALL SELECT y, z FROM tri),
+                 sup AS (SELECT u, v, COUNT(*) AS s FROM te
+                         GROUP BY u, v),
+                 deg AS (SELECT node, COUNT(*) AS d
+                         FROM (SELECT u AS node FROM e
+                               UNION ALL SELECT v FROM e)
+                         GROUP BY node)
+            SELECT e.u AS src, e.v AS dst,
+                   COALESCE(sup.s, 0) AS common_cnt,
+                   du.d + dv.d - 2 - COALESCE(sup.s, 0) AS union_cnt
+            FROM e
+            JOIN deg du ON du.node = e.u
+            JOIN deg dv ON dv.node = e.v
+            LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+        """,
+
+        "ktruss_events": _ktruss_sql(3, 8),
+
+        # condensation DAG: SCC roots via the scc_events mutual-reach
+        # recursion, then DISTINCT cross-component root pairs. The
+        # (src*31+dst) % 37 < 2 sparsifier replays the engine's exact
+        # integer arithmetic (the full events graph is one giant SCC
+        # at every test sf — empty condensation proves nothing)
+        "scc_condensation_events": f"""
+            WITH RECURSIVE
+                 eall AS ({_EDGES}),
+                 e0 AS MATERIALIZED (
+                     SELECT src, dst FROM eall
+                     WHERE (CAST(src AS BIGINT) * 31
+                            + CAST(dst AS BIGINT)) % 37 < 2),
+                 nodes AS (SELECT DISTINCT src AS node FROM e0
+                           UNION SELECT DISTINCT dst FROM e0),
+                 reach(u, v) AS (
+                     SELECT node, node FROM nodes
+                     UNION
+                     SELECT r.u, e.dst FROM reach r
+                     JOIN e0 e ON e.src = r.v
+                 ),
+                 scc AS (SELECT r1.u AS node, MIN(r1.v) AS root
+                         FROM reach r1 JOIN reach r2
+                           ON r2.u = r1.v AND r2.v = r1.u
+                         GROUP BY r1.u)
+            SELECT DISTINCT ls.root AS src_comp, ld.root AS dst_comp
+            FROM e0
+            JOIN scc ls ON ls.node = e0.src
+            JOIN scc ld ON ld.node = e0.dst
+            WHERE ls.root <> ld.root
         """,
 
         "token_counts": r"""

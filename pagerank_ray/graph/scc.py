@@ -347,3 +347,167 @@ def scc_labels_prebuilt(fdir: str, rdir: str,
             for W in (Wf, Wr):
                 if W:
                     kill_workers(W)
+
+
+def scc_condensation(edges, num_parts: int = 4,
+                     exchange: str = "auto",
+                     num_workers: int | None = None,
+                     out_dir: str | None = None) -> pa.Table | None:
+    """Condensation DAG of the directed graph: one row per DISTINCT
+    (src_comp, dst_comp) pair of SCC roots joined by at least one
+    original edge, src_comp != dst_comp (intra-component edges and
+    self-loops collapse away). Roots are scc_labels' semantics — the
+    NAME of each SCC's lexicographically smallest member — so the
+    output is a valid DAG (condensation of a digraph is acyclic).
+    Sorted by (src_comp, dst_comp).
+
+    Composition, end-to-end distributed: scc_labels writes its label
+    shards worker-side to a scratch dir (graph/sink.py — the driver
+    never holds the n-row table), the (id, node, label) Dataset joins
+    the edge list twice (src and dst), distinct-ness is one groupby,
+    and two more joins swap root IDS for root NAMES. All joins are
+    partitioned hash joins (stages/join.py); with E edges and C
+    components the driver result is O(C-DAG edges), and with
+    ``out_dir`` set even that stays worker-side (sink commit
+    discipline) and None is returned.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+    from .sink import read_result_dataset, sink_dataset
+
+    i64 = pa.int64()
+    empty = pa.table({"src_comp": pa.array([], pa.string()),
+                      "dst_comp": pa.array([], pa.string())})
+    ds = _to_ds(edges).materialize()
+    if ds.count() == 0:
+        if out_dir is not None:
+            sink_dataset(rd.from_arrow(empty), out_dir)
+            return None
+        return empty
+
+    nparts = default_join_partitions()
+    labels_dir = tempfile.mkdtemp(prefix="scc_cond_labels_")
+    try:
+        scc_labels(ds, num_parts=num_parts, exchange=exchange,
+                   num_workers=num_workers, out_dir=labels_dir)
+        lab = read_result_dataset(labels_dir).materialize()
+    finally:
+        shutil.rmtree(labels_dir, ignore_errors=True)
+
+    def _s(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"snode": pa.array([], pa.string()),
+                             "slab": pa.array([], i64)})
+        return pa.table({"snode": t.column("node"),
+                         "slab": t.column("label").cast(i64)})
+
+    def _d(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dnode": pa.array([], pa.string()),
+                             "dlab": pa.array([], i64)})
+        return pa.table({"dnode": t.column("node"),
+                         "dlab": t.column("label").cast(i64)})
+
+    def _roots(t: pa.Table) -> pa.Table:
+        # the root row of each SCC is the one labeled with its own id
+        if t.num_rows == 0:
+            return pa.table({"rid": pa.array([], i64),
+                             "rname": pa.array([], pa.string())})
+        import pyarrow.compute as pc
+        keep = pc.equal(t.column("id").cast(i64),
+                        t.column("label").cast(i64))
+        t = t.filter(keep)
+        return pa.table({"rid": t.column("id").cast(i64),
+                         "rname": t.column("node")})
+
+    lab_s = lab.map_batches(_s, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lab_d = lab.map_batches(_d, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    roots = lab.map_batches(_roots, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    str_ = pa.string()
+    j1 = hash_join(ds, lab_s, on=("src",), right_on=("snode",),
+                   left_schema=[("src", str_), ("dst", str_)],
+                   right_schema=[("snode", str_), ("slab", i64)])
+
+    def _p1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dst": pa.array([], str_),
+                             "slab": pa.array([], i64)})
+        return pa.table({"dst": t.column("dst"),
+                         "slab": t.column("slab")})
+
+    j2 = hash_join(
+        j1.map_batches(_p1, batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(nparts),
+        lab_d, on=("dst",), right_on=("dnode",),
+        left_schema=[("dst", str_), ("slab", i64)],
+        right_schema=[("dnode", str_), ("dlab", i64)])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"slab": pa.array([], i64),
+                             "dlab": pa.array([], i64)})
+        import pyarrow.compute as pc
+        t = t.filter(pc.not_equal(t.column("slab"), t.column("dlab")))
+        return pa.table({"slab": t.column("slab"),
+                         "dlab": t.column("dlab")})
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"slab": pa.array([], i64),
+                             "dlab": pa.array([], i64)})
+        return pa.table({"slab": t.column("slab").cast(i64),
+                         "dlab": t.column("dlab").cast(i64)})
+
+    # materialize: caps concurrently instantiated aggregator pools at
+    # 3 (j1+j2+groupby) then 2 (root-name joins) — all 5 in one lazy
+    # graph starve their own map tasks on small clusters
+    pairs = (j2.map_batches(_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["slab", "dlab"]).count()
+             .map_batches(_dedup, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    j3 = hash_join(pairs.repartition(nparts), roots, on=("slab",),
+                   right_on=("rid",),
+                   left_schema=[("slab", i64), ("dlab", i64)],
+                   right_schema=[("rid", i64), ("rname", str_)])
+
+    def _p3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dlab": pa.array([], i64),
+                             "src_comp": pa.array([], str_)})
+        return pa.table({"dlab": t.column("dlab"),
+                         "src_comp": t.column("rname")})
+
+    j4 = hash_join(
+        j3.map_batches(_p3, batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(nparts),
+        roots, on=("dlab",), right_on=("rid",),
+        left_schema=[("dlab", i64), ("src_comp", str_)],
+        right_schema=[("rid", i64), ("rname", str_)])
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.slice(0, 0)
+        return pa.table({"src_comp": t.column("src_comp"),
+                         "dst_comp": t.column("rname")})
+
+    out = j4.map_batches(_final, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    if out.count() == 0:
+        # a single giant SCC condenses to ZERO rows; Ray never runs
+        # the UDF on empty blocks, so `out` would carry schema-less
+        # blocks — substitute the typed empty table
+        if out_dir is not None:
+            sink_dataset(rd.from_arrow(empty), out_dir)
+            return None
+        return empty
+    if out_dir is not None:
+        sink_dataset(out, out_dir)
+        return None
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.sort_by([("src_comp", "ascending"),
+                        ("dst_comp", "ascending")])

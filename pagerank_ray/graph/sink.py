@@ -62,6 +62,17 @@ def sink_dataset(ds, out_dir: str) -> None:
     ds.write_parquet(out_dir)
     files = sorted(f for f in os.listdir(out_dir)
                    if f.endswith(".parquet"))
+    if not files:
+        # an all-empty Dataset writes ZERO files; commit one typed
+        # empty part so read_sunk_dataset has a path (and a schema)
+        import pyarrow.parquet as pq
+        sch = ds.schema()
+        arrow_sch = getattr(sch, "base_schema", None) if sch else None
+        empty = (arrow_sch.empty_table()
+                 if isinstance(arrow_sch, pa.Schema) else pa.table({}))
+        pq.write_table(empty, os.path.join(out_dir,
+                                           "part-empty.parquet"))
+        files = ["part-empty.parquet"]
     gb._atomic_write_json(os.path.join(out_dir, SUCCESS_MARKER),
                           {"files": files})
 

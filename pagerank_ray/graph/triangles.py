@@ -184,26 +184,20 @@ def _triangle_counts_partitioned(edges_ds,
     return tbl, dtbl.sort_by([("node", "ascending")])
 
 
-def _partitioned_datasets(edges_ds, want_deg: bool = False):
-    """The partitioned pipeline as LAZY Datasets: returns
-    (tri_ds, deg_ds) with schemas (node, tri_count) / (node, deg)
-    (deg_ds None unless want_deg). Dictionary, degrees, wedges,
-    closing and the result assembly all stay distributed — nothing
-    O(n) touches the driver."""
-    nparts = default_join_partitions()
-    nodes_ds = enc.assign_ids_sorted(
-        enc.distinct_nodes_dataset(edges_ds)).materialize()
-    n = nodes_ds.count()
-    encoded = enc.encode_edges_partitioned(edges_ds, nodes_ds)
-    undirected = _undirected_dedup(encoded)
-    deg_ds = _vertex_degrees(undirected)
+def closed_triangles(undirected, deg_ds, n: int, nparts: int):
+    """The oriented-wedge core shared by node counts (this module)
+    and edge supports (graph/truss.py): deduped undirected id-edges +
+    their distinct-neighbor degrees -> a Dataset with ONE ROW PER
+    TRIANGLE, columns (a, wb, wc) = the triangle's vertex ids in the
+    orientation's (deg, id) total order.
 
-    # degrees attach via two partitioned hash joins (a dense degree
-    # broadcast is O(n) per worker — unusable at billion-node scale),
-    # then orientation is a vectorized map. Every join below passes
-    # left/right schemas: on degenerate graphs (all self-loops, no
-    # triangles) whole intermediate datasets are empty and only the
-    # hash_join sentinel keeps the shuffle typed (stages/join.py).
+    Degrees attach via two partitioned hash joins (a dense degree
+    broadcast is O(n) per worker — unusable at billion-node scale),
+    then orientation is a vectorized map. Every join below passes
+    left/right schemas: on degenerate graphs (all self-loops, no
+    triangles) whole intermediate datasets are empty and only the
+    hash_join sentinel keeps the shuffle typed (stages/join.py).
+    """
     i64 = pa.int64()
 
     def _d2(t: pa.Table) -> pa.Table:
@@ -280,10 +274,27 @@ def _partitioned_datasets(edges_ds, want_deg: bool = False):
     edge_keys = oriented.map_batches(
         lambda t: pa.table({"eb": t.column("a"), "ec": t.column("b")}),
         batch_format="pyarrow", zero_copy_batch=True)
-    closed = hash_join(wedge_ds.repartition(nparts), edge_keys,
-                       on=("wb", "wc"), right_on=("eb", "ec"),
-                       left_schema=[("a", i64), ("wb", i64), ("wc", i64)],
-                       right_schema=[("eb", i64), ("ec", i64)])
+    return hash_join(wedge_ds.repartition(nparts), edge_keys,
+                     on=("wb", "wc"), right_on=("eb", "ec"),
+                     left_schema=[("a", i64), ("wb", i64), ("wc", i64)],
+                     right_schema=[("eb", i64), ("ec", i64)])
+
+
+def _partitioned_datasets(edges_ds, want_deg: bool = False):
+    """The partitioned pipeline as LAZY Datasets: returns
+    (tri_ds, deg_ds) with schemas (node, tri_count) / (node, deg)
+    (deg_ds None unless want_deg). Dictionary, degrees, wedges,
+    closing and the result assembly all stay distributed — nothing
+    O(n) touches the driver."""
+    nparts = default_join_partitions()
+    nodes_ds = enc.assign_ids_sorted(
+        enc.distinct_nodes_dataset(edges_ds)).materialize()
+    n = nodes_ds.count()
+    encoded = enc.encode_edges_partitioned(edges_ds, nodes_ds)
+    undirected = _undirected_dedup(encoded)
+    deg_ds = _vertex_degrees(undirected)
+    closed = closed_triangles(undirected, deg_ds, n, nparts)
+    i64 = pa.int64()
 
     def emit_tri_verts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -202,3 +202,97 @@ REDACT_SQL = r"""
            len(regexp_extract_all(msg, 'https?://[^\s]+')) AS n_urls
     FROM msgs
 """
+
+
+def tfidf_top_terms(docs, k: int = 5, join_partitions: int | None = None):
+    """Per-document top-``k`` terms by (tf DESC, term ASC) with the
+    term's global document frequency attached — the exact-integer
+    core of TF-IDF (idf = ln(N/df) is the caller's one float; keeping
+    (tf, df) integral makes the result value-hashable across
+    engines). Returns a Dataset (doc_id, term, tf, df).
+
+    Scale shape: ONE vectorized pass computes per-(doc, term) counts
+    AND the per-doc rank (arrow group_by + np.lexsort inside the
+    batch — each document lives in one row, so its tf table is
+    batch-local and exact). The groupby shuffle then moves one row
+    per DISTINCT (doc, term) pair (sublinear in tokens) to build df,
+    and only the ≤ k·docs top rows enter the df join.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64 = pa.int64()
+
+    def tf_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], i64),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], i64),
+                             "rank": pa.array([], i64)})
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        idx = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        pairs = pa.table({"i": idx.filter(keep),
+                          "term": flat.filter(keep)})
+        g = pairs.group_by(["i", "term"]).aggregate([("term", "count")])
+        i = g.column("i").to_numpy()
+        tf = g.column("term_count").to_numpy().astype(np.int64)
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((terms, -tf, i))
+        i, tf, terms = i[order], tf[order], terms[order]
+        # rank within doc: position minus the doc's first position
+        starts = np.flatnonzero(np.diff(i, prepend=i[:1] - 1))
+        rank = np.arange(len(i)) - np.repeat(
+            starts, np.diff(np.append(starts, len(i))))
+        doc_ids = t.column("doc_id").to_numpy()[i]
+        return pa.table({"doc_id": pa.array(doc_ids, i64),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tf),
+                         "rank": pa.array(rank)})
+
+    tf_full = docs.map_batches(tf_rank, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def _df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dterm": pa.array([], pa.string()),
+                             "df": pa.array([], i64)})
+        return pa.table({"dterm": t.column("term"),
+                         "df": pc.cast(t.column("count()"), i64)})
+
+    df_ds = tf_full.groupby("term").count().map_batches(
+        _df, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], i64),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], i64)})
+        t = t.filter(pc.less(t.column("rank"), pa.scalar(k)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "tf": t.column("tf")})
+
+    topk = tf_full.map_batches(_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    nparts = join_partitions or default_join_partitions()
+    joined = hash_join(
+        topk.repartition(nparts), df_ds, on=("term",),
+        right_on=("dterm",),
+        left_schema=[("doc_id", i64), ("term", pa.string()),
+                     ("tf", i64)],
+        right_schema=[("dterm", pa.string()), ("df", i64)])
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], i64),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], i64),
+                             "df": pa.array([], i64)})
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "tf": t.column("tf"),
+                         "df": t.column("df")})
+
+    return joined.map_batches(_final, batch_format="pyarrow",
+                              zero_copy_batch=True)

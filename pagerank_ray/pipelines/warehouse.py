@@ -541,3 +541,44 @@ TOP_REVENUE_SQL = f"""
     ORDER BY revenue DESC, o.o_orderkey ASC
     LIMIT {{k}}
 """
+
+
+def forecast_revenue(sf_dir: str, year: int = 1995,
+                     disc_lo: float = 0.05, disc_hi: float = 0.07,
+                     qty_lt: float = 24.0):
+    """TPC-H Q6-style forecast-revenue delta: SUM(extendedprice *
+    discount) over lineitems shipped within ``year`` with discount in
+    [disc_lo, disc_hi] and quantity < qty_lt. Returns ONE row
+    (revenue, n_lines) — revenue rounded to 2dp (the pricing_summary
+    grid discipline), n_lines the exact filtered count.
+
+    Scale shape: pruned 4-column read, per-batch vectorized filter +
+    scalar partial (one (revenue, n) row per block), O(blocks) global
+    sum — no shuffle at all."""
+    lo = _ts_us(f"{year}-01-01")
+    hi = _ts_us(f"{year + 1}-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        price = t.column("l_extendedprice").to_numpy()
+        keep = ((ship >= lo) & (ship < hi) & (disc >= disc_lo)
+                & (disc <= disc_hi) & (qty < qty_lt))
+        return pa.table({
+            "revenue": pa.array([float((price[keep]
+                                        * disc[keep]).sum())]),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .sum(["revenue", "n_lines"])
+    return pa.table({
+        "revenue": pa.array([round(agg["sum(revenue)"], 2)]),
+        "n_lines": pa.array([int(agg["sum(n_lines)"])], pa.int64()),
+    })

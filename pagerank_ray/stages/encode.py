@@ -87,6 +87,13 @@ def distinct_nodes(edges_ds) -> pa.Array:
 
 @ray.remote
 def _append_id_block(block: pa.Table, offset: int) -> pa.Table:
+    if block.num_rows == 0:
+        # sort emits SCHEMA-LESS empty blocks on small inputs; left
+        # as-is they poison the Dataset's unified schema (['id'] vs
+        # ['node', 'id']) and downstream hash-join sentinels get
+        # typed from the broken probe -> KeyError in the shuffle
+        return pa.table({"node": pa.array([], pa.string()),
+                         "id": pa.array([], pa.int64())})
     ids = np.arange(offset, offset + block.num_rows, dtype=np.int64)
     return block.append_column("id", pa.array(ids))
 

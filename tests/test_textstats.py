@@ -73,3 +73,34 @@ def test_redact_documents():
     got = _sorted_df(out)
     exp = _sorted_df(_con().execute(REDACT_SQL).df())
     assert got.equals(exp)
+
+
+def test_tfidf_top_terms_matches_brute():
+    import ray.data as rd
+    from collections import Counter
+    from pagerank_ray.pipelines.textstats import tfidf_top_terms
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    t = tfidf_top_terms(
+        rd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]), k=5).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    tf = {}
+    df = Counter()
+    for _, row in docs.iterrows():
+        c = Counter(tok for tok in row.text.split() if tok)
+        tf[row.doc_id] = c
+        df.update(c.keys())
+    want = []
+    for doc_id, c in tf.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for term, cnt in top:
+            want.append((doc_id, term, cnt, df[term]))
+    got = sorted(zip(t.doc_id, t.term, t.tf, t.df))
+    assert got == sorted(want)
+    # every doc with >= 5 distinct terms contributes exactly 5 rows
+    n5 = sum(1 for c in tf.values() if len(c) >= 5)
+    from collections import Counter as C2
+    per_doc = C2(t.doc_id)
+    assert sum(1 for v in per_doc.values() if v == 5) >= n5

@@ -95,3 +95,27 @@ def test_promo_revenue_by_month_matches_duckdb():
     cols = ["month", "promo_rev", "total_rev", "promo_share_pct"]
     assert got[cols].equals(exp[cols])
     assert (got["promo_share_pct"].between(0, 100)).all()
+
+
+def test_forecast_revenue_matches_pandas():
+    from pagerank_ray.pipelines.warehouse import forecast_revenue
+    got = forecast_revenue(SF, year=1995, disc_lo=0.05,
+                           disc_hi=0.07, qty_lt=24.0)
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    keep = ((li.l_shipdate >= pd.Timestamp("1995-01-01"))
+            & (li.l_shipdate < pd.Timestamp("1996-01-01"))
+            & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+            & (li.l_quantity < 24))
+    want_rev = round((li.l_extendedprice[keep]
+                      * li.l_discount[keep]).sum(), 2)
+    assert got.num_rows == 1
+    assert got.column("n_lines")[0].as_py() == int(keep.sum())
+    assert abs(got.column("revenue")[0].as_py() - want_rev) < 0.011
+    assert int(keep.sum()) > 0  # predicate actually selects rows
+
+
+def test_forecast_revenue_empty_year():
+    from pagerank_ray.pipelines.warehouse import forecast_revenue
+    got = forecast_revenue(SF, year=1970)  # before any shipdate
+    assert got.column("n_lines")[0].as_py() == 0
+    assert got.column("revenue")[0].as_py() == 0.0
