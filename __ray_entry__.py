@@ -494,6 +494,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sparsify, batch_format="pyarrow", zero_copy_batch=True)
         return scc_condensation(edges, num_parts=4)
 
+    def q_random_walks_events(sf_dir):
+        """Deterministic hash-argmin walks over the events graph
+        (engine extension, graph/walks.py) — the node2vec/DeepWalk
+        sampling primitive with the RNG replaced by splitmix64 so
+        every engine selects the identical successor. 3 steps from
+        every source node; (start, step, node) rows. Per step: one
+        partitioned frontier ⋈ edges join, a batch-local argmin
+        combiner, two arrow groupbys + an equi-join for the exact
+        global (h, dst) argmin — no per-group Python, O(1) driver
+        bytes until the final result."""
+        _quiet()
+        from pagerank_ray.graph.walks import deterministic_walks
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "src": _pc.cast(t.column("src"), pa.int64()),
+                "dst": _pc.cast(t.column("dst"), pa.int64())})
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        return deterministic_walks(edges, num_steps=3, seed=7,
+                                   join_partitions=4)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -711,6 +735,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 disc_lo=0.05, disc_hi=0.07,
                                 qty_lt=24.0)
 
+    def q_returned_customer_revenue(sf_dir):
+        """TPC-H Q10 shape
+        (pipelines/warehouse.py:returned_customer_revenue): partitioned
+        orders ⋈ lineitem join with per-batch per-order revenue
+        combiner, full per-customer aggregate BEFORE any dimension
+        join — only the ≤ k winners fetch c_name/c_acctbal/n_name
+        (broadcast key scan + 25-row driver join)."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import (
+            returned_customer_revenue)
+        return returned_customer_revenue(sf_dir)
+
     def q_bloom_pruned_order_lines(sf_dir):
         """Selective join with Bloom-pruned big side: the filter only
         reduces shuffle traffic, so the plain-join SQL is exact."""
@@ -836,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_events": q_edge_support_events,
         "ktruss_events": q_ktruss_events,
         "scc_condensation_events": q_scc_condensation_events,
+        "random_walks_events": q_random_walks_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -846,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "promo_revenue_by_month": q_promo_revenue_by_month,
         "forecast_revenue": q_forecast_revenue,
+        "returned_customer_revenue": q_returned_customer_revenue,
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
@@ -855,11 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "label_centroids": q_label_centroids,
-        "top_terms": q_top_terms,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
@@ -878,6 +914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "broadcast_join_orders_customer": q_broadcast_join,
         "quantiles_per_type": q_quantiles_per_type,
+        # rotated out of the driver's 50-row window (driver-green
+        # rounds 1-4) to make room for returned_customer_revenue and
+        # random_walks_events
+        "top_terms": q_top_terms,
+        "knn_bruteforce": q_knn_bruteforce,
     }
 
 
@@ -1041,6 +1082,26 @@ def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+_INT_EDGES = """
+    SELECT user_id AS src, next_user AS dst
+    FROM (
+        SELECT user_id,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS next_user
+        FROM events
+    )
+    WHERE next_user IS NOT NULL
+"""
+
+
+def _walks_sql_events() -> str:
+    """Deterministic-walks oracle over the INT form of the events
+    edges (_EDGES without the VARCHAR cast — the engine casts the
+    string node names back to int64, values identical)."""
+    from pagerank_ray.graph.walks import walks_sql
+    return walks_sql(_INT_EDGES, num_steps=3, seed=7)
+
+
 def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
     """k-truss as ``rounds`` UNROLLED peel steps: each round
     re-enumerates triangles over the previous round's survivor edge
@@ -1133,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
+                                                  RETURNED_CUSTOMER_SQL,
                                                   REVENUE_BY_NATION_SQL,
                                                   TOP_REVENUE_SQL)
 
@@ -1271,6 +1333,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
+
+        # Q10 shape: (revenue DESC, c_custkey ASC) is a total order,
+        # so the LIMIT-k set is deterministic; 2dp grid both sides
+        "returned_customer_revenue": RETURNED_CUSTOMER_SQL.format(
+            date_from="1996-04-01", date_to="1996-07-01", k=20),
         "edges_from_events": _EDGES,
 
         "node_outdegree": f"""
@@ -1476,6 +1543,12 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "ktruss_events": _ktruss_sql(3, 8),
+
+        # deterministic walks: unrolled hash-argmin steps; the
+        # splitmix64 replay runs in mod-2^64 HUGEINT arithmetic
+        # (graph/walks.py:walks_sql), successor = row_number()=1 over
+        # (h ASC, dst ASC) — a total order, so exact
+        "random_walks_events": _walks_sql_events(),
 
         # condensation DAG: SCC roots via the scc_events mutual-reach
         # recursion, then DISTINCT cross-component root pairs. The

@@ -582,3 +582,147 @@ def forecast_revenue(sf_dir: str, year: int = 1995,
         "revenue": pa.array([round(agg["sum(revenue)"], 2)]),
         "n_lines": pa.array([int(agg["sum(n_lines)"])], pa.int64()),
     })
+
+
+def returned_customer_revenue(sf_dir: str,
+                              date_from: str = "1996-04-01",
+                              date_to: str = "1996-07-01",
+                              k: int = 20) -> pa.Table:
+    """TPC-H Q10 shape: per-customer revenue lost to returned
+    lineitems (l_returnflag = 'R') of orders placed in
+    [date_from, date_to); top-k customers by (revenue DESC,
+    c_custkey ASC) with name / account balance / nation attached.
+    Returns (c_custkey, c_name, revenue, c_acctbal, n_name).
+
+    Scale shape: orders and lineitem are BOTH big, so their join is
+    partitioned (date filter first, per-batch per-order revenue
+    combiner on the lineitem side). The per-customer aggregate runs
+    to completion BEFORE any dimension join — only the ≤ k winning
+    rows ever touch customer/nation (a broadcast key fetch + a
+    25-row driver join), instead of shipping c_name/c_acctbal
+    through the shuffle for every customer.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    i64, f64, s = pa.int64(), pa.float64(), pa.string()
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(i64)
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(int(lo), i64)),
+                       pc.less(od, pa.scalar(int(hi), i64)))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")}
+                        ).filter(keep)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("l_returnflag"),
+                        pa.scalar("R")).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "rev": pa.array([], f64)})
+        okey = t.column("l_orderkey").to_numpy()[keep]
+        rev = (t.column("l_extendedprice").to_numpy()[keep]
+               * (1.0 - t.column("l_discount").to_numpy()[keep]))
+        # per-batch per-order combiner bounds the join input
+        df = (pd.DataFrame({"l_orderkey": okey, "rev": rev})
+              .groupby("l_orderkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"]).map_batches(
+            li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    joined = hash_join(lineitem.repartition(nparts), orders,
+                       on=("l_orderkey",), right_on=("o_orderkey",),
+                       left_schema=[("l_orderkey", i64), ("rev", f64)],
+                       right_schema=[("o_orderkey", i64),
+                                     ("o_custkey", i64)])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], i64),
+                             "rev": pa.array([], f64)})
+        df = (pd.DataFrame({"o_custkey": t.column("o_custkey")
+                            .to_numpy(zero_copy_only=False),
+                            "rev": t.column("rev")
+                            .to_numpy(zero_copy_only=False)})
+              .groupby("o_custkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (joined.map_batches(cust_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey").sum("rev"))
+
+    def to_rounded(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], i64),
+                             "revenue": pa.array([], f64)})
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "revenue": pa.array(np.round(
+                t.column("sum(rev)").to_numpy(), 2))})
+
+    top = (agg.map_batches(to_rounded, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .sort(["revenue", "c_custkey"], descending=[True, False])
+           .limit(k).to_pandas())
+
+    # dimension fetch for ONLY the winners: broadcast key set into the
+    # customer scan, tiny nation table read whole; k-row driver joins
+    kref = ray.put(pa.array(top["c_custkey"].to_numpy()))
+
+    def cust_fetch(t: pa.Table, *, kref) -> pa.Table:
+        keys = ray.get(kref) if isinstance(
+            kref, ray.ObjectRef) else kref
+        return t.filter(pc.is_valid(
+            pc.index_in(t.column("c_custkey"), value_set=keys)))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(cust_fetch, fn_kwargs={"kref": kref},
+                  batch_format="pyarrow").to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+
+    out = (top.merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey",
+                  right_on="n_nationkey")
+           .sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True]))
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(), i64),
+        "c_name": pa.array(out["c_name"], s),
+        "revenue": pa.array(out["revenue"].to_numpy(), f64),
+        "c_acctbal": pa.array(out["c_acctbal"].to_numpy(), f64),
+        "n_name": pa.array(out["n_name"], s),
+    })
+
+
+RETURNED_CUSTOMER_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate < TIMESTAMP '{date_to}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT {k}
+"""

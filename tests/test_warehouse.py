@@ -119,3 +119,23 @@ def test_forecast_revenue_empty_year():
     got = forecast_revenue(SF, year=1970)  # before any shipdate
     assert got.column("n_lines")[0].as_py() == 0
     assert got.column("revenue")[0].as_py() == 0.0
+
+
+def test_returned_customer_revenue_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (
+        RETURNED_CUSTOMER_SQL, returned_customer_revenue)
+    got = returned_customer_revenue(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(RETURNED_CUSTOMER_SQL.format(
+        date_from="1996-04-01", date_to="1996-07-01", k=20)).df()
+    assert len(got) == 20
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+    # revenue strictly positive and sorted desc
+    assert (got.revenue > 0).all()
+    assert (got.revenue.values[:-1] >= got.revenue.values[1:]).all()
