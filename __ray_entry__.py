@@ -518,6 +518,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return deterministic_walks(edges, num_steps=3, seed=7,
                                    join_partitions=4)
 
+    def q_mis_events(sf_dir):
+        """Luby maximal independent set on the SPARSIFIED symmetrized
+        events graph (engine extension, graph/mis.py): deterministic
+        splitmix64 priorities, (p, node) lexicographic rule, the
+        own-row-union trick instead of any anti-join. Sparsified with
+        the scc_condensation (src*31+dst) % 37 < 2 rule — the full
+        events graph is near-complete, making the MIS a trivial
+        handful of nodes. The oracle unrolls 8 Luby rounds (monotone
+        — extra rounds are no-ops); the engine's real round count is
+        asserted against it, the kcore discipline."""
+        _quiet()
+        from pagerank_ray.graph.mis import maximal_independent_set
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            s = _pc.cast(t.column("src"), pa.int64())
+            d = _pc.cast(t.column("dst"), pa.int64())
+            sn = s.to_numpy(zero_copy_only=False)
+            dn = d.to_numpy(zero_copy_only=False)
+            return pa.table({"src": s, "dst": d}).filter(
+                pa.array((sn * 31 + dn) % 37 < 2))
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        t = maximal_independent_set(edges, seed=7,
+                                    join_partitions=4)
+        rounds = int(t.schema.metadata[b"rounds_used"])
+        assert rounds <= 8, (
+            f"MIS took {rounds} rounds; raise the oracle unroll")
+        return t.replace_schema_metadata(None)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -873,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_events": q_ktruss_events,
         "scc_condensation_events": q_scc_condensation_events,
         "random_walks_events": q_random_walks_events,
+        "mis_events": q_mis_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -895,7 +927,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "label_centroids": q_label_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
@@ -915,10 +946,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_orders_customer": q_broadcast_join,
         "quantiles_per_type": q_quantiles_per_type,
         # rotated out of the driver's 50-row window (driver-green
-        # rounds 1-4) to make room for returned_customer_revenue and
-        # random_walks_events
+        # rounds 1-4) to make room for returned_customer_revenue,
+        # random_walks_events and mis_events
         "top_terms": q_top_terms,
         "knn_bruteforce": q_knn_bruteforce,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -1100,6 +1132,16 @@ def _walks_sql_events() -> str:
     string node names back to int64, values identical)."""
     from pagerank_ray.graph.walks import walks_sql
     return walks_sql(_INT_EDGES, num_steps=3, seed=7)
+
+
+def _mis_sql_events() -> str:
+    """Luby-MIS oracle over the SPARSIFIED INT events edges (the
+    scc_condensation (src*31+dst) % 37 < 2 rule, exact integers)."""
+    from pagerank_ray.graph.mis import mis_sql
+    sparse = (f"SELECT src, dst FROM ({_INT_EDGES}) "
+              f"WHERE (CAST(src AS BIGINT) * 31"
+              f" + CAST(dst AS BIGINT)) % 37 < 2")
+    return mis_sql(sparse, rounds=8, seed=7)
 
 
 def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
@@ -1549,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
         # (graph/walks.py:walks_sql), successor = row_number()=1 over
         # (h ASC, dst ASC) — a total order, so exact
         "random_walks_events": _walks_sql_events(),
+
+        # Luby MIS: 8 unrolled rounds (monotone), splitmix64 priority
+        # replay in HUGEINT, (p, node) rule via NOT EXISTS; the
+        # engine wrapper asserts its real round count <= 8
+        "mis_events": _mis_sql_events(),
 
         # condensation DAG: SCC roots via the scc_events mutual-reach
         # recursion, then DISTINCT cross-component root pairs. The

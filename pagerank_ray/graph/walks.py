@@ -78,6 +78,48 @@ def _first_per_start(start, h, dst):
     return start[keep], h[keep], dst[keep]
 
 
+def lexmin_per_key(ds, nparts: int):
+    """Exact global lexicographic argmin of (a, b) per key over a
+    Dataset with int64 columns (key, a, b): TWO arrow groupbys and one
+    equi-join — min(a) per key, join back on (key, a), min(b) among
+    the ties — never per-group Python. Returns a Dataset
+    (key, a, b) with one row per key.
+
+    Callers should batch-combine first (``_first_per_start``) so the
+    shuffles carry at most one row per (key, block)."""
+    from ..stages.join import hash_join
+
+    abc = [("key", _I64), ("a", _I64), ("b", _I64)]
+
+    def _mina(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], _I64),
+                             "a": pa.array([], _I64)})
+        return pa.table({"key": t.column("key"),
+                         "a": t.column("min(a)")})
+
+    g1 = ds.groupby("key").min("a").map_batches(
+        _mina, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(ds.repartition(nparts), g1, on=("key", "a"),
+                  left_schema=abc,
+                  right_schema=[("key", _I64), ("a", _I64)])
+
+    def _minb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], _I64),
+                             "a": pa.array([], _I64),
+                             "b": pa.array([], _I64)})
+        return pa.table({"key": t.column("key"),
+                         "a": t.column("a"),
+                         "b": t.column("min(b)").cast(_I64)})
+
+    # min(b) per (key, a): a is already the per-key min, so grouping
+    # by key alone is equivalent — but keeping a in the group key lets
+    # arrow carry it through without a rejoin
+    return j.groupby(["key", "a"]).min("b").map_batches(
+        _minb, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def deterministic_walks(edges_ds, num_steps: int = 3, seed: int = 7,
                         join_partitions: int | None = None,
                         out_dir: str | None = None):
@@ -125,7 +167,6 @@ def deterministic_walks(edges_ds, num_steps: int = 3, seed: int = 7,
 
     fe_schema = [("start", _I64), ("cur", _I64)]
     e_schema = [("src", _I64), ("dst", _I64)]
-    pre_schema = [("start", _I64), ("h", _I64), ("dst", _I64)]
 
     for step in range(1, num_steps + 1):
         cand = hash_join(F.repartition(nparts), E, on=("cur",),
@@ -134,35 +175,21 @@ def deterministic_walks(edges_ds, num_steps: int = 3, seed: int = 7,
 
         def _pre(t: pa.Table, *, step=step) -> pa.Table:
             if t.num_rows == 0:
-                return pa.table({"start": pa.array([], _I64),
-                                 "h": pa.array([], _I64),
-                                 "dst": pa.array([], _I64)})
+                return pa.table({"key": pa.array([], _I64),
+                                 "a": pa.array([], _I64),
+                                 "b": pa.array([], _I64)})
             start = t.column("start").to_numpy(zero_copy_only=False)
             cur = t.column("cur").to_numpy(zero_copy_only=False)
             dst = t.column("dst").to_numpy(zero_copy_only=False)
             h = (walk_hash(cur, dst, step, seed)
                  ^ _MSB).view(np.int64)
             s2, h2, d2 = _first_per_start(start, h, dst)
-            return pa.table({"start": pa.array(s2),
-                             "h": pa.array(h2),
-                             "dst": pa.array(d2)})
+            return pa.table({"key": pa.array(s2),
+                             "a": pa.array(h2),
+                             "b": pa.array(d2)})
 
         pre = cand.map_batches(_pre, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-
-        def _minh(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"start": pa.array([], _I64),
-                                 "h": pa.array([], _I64)})
-            return pa.table({"start": t.column("start"),
-                             "h": t.column("min(h)")})
-
-        g1 = pre.groupby("start").min("h").map_batches(
-            _minh, batch_format="pyarrow", zero_copy_batch=True)
-
-        j = hash_join(pre.repartition(nparts), g1,
-                      on=("start", "h"), left_schema=pre_schema,
-                      right_schema=[("start", _I64), ("h", _I64)])
 
         def _next(t: pa.Table, *, step=step) -> pa.Table:
             if t.num_rows == 0:
@@ -170,11 +197,11 @@ def deterministic_walks(edges_ds, num_steps: int = 3, seed: int = 7,
                                  "step": pa.array([], _I64),
                                  "node": pa.array([], _I64)})
             return pa.table({
-                "start": t.column("start"),
+                "start": t.column("key"),
                 "step": pa.array(np.full(t.num_rows, step, np.int64)),
-                "node": t.column("min(dst)").cast(_I64)})
+                "node": t.column("b")})
 
-        stepped = (j.groupby("start").min("dst")
+        stepped = (lexmin_per_key(pre, nparts)
                    .map_batches(_next, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize())
         outs.append(stepped)
