@@ -549,6 +549,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"MIS took {rounds} rounds; raise the oracle unroll")
         return t.replace_schema_metadata(None)
 
+    def q_feature_propagation_events(sf_dir):
+        """GNN-style 2-hop feature propagation over the events graph
+        (engine extension, graph/propagate.py): f = per-user event
+        count, hop h = SUM of out-neighbors' hop-(h-1) values with
+        edge multiplicity (y = A·f applied twice — never an E ⋈ E
+        path enumeration). Exact integers end to end."""
+        _quiet()
+        from pagerank_ray.graph.propagate import feature_propagation
+        from pagerank_ray.stages.aggregate import grouped_count
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "src": _pc.cast(t.column("src"), pa.int64()),
+                "dst": _pc.cast(t.column("dst"), pa.int64())})
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        feats = grouped_count(ev, "user_id", alias="f").map_batches(
+            lambda t: pa.table({
+                "node": t.column("user_id").cast(pa.int64()),
+                "f": t.column("f").cast(pa.int64())}),
+            batch_format="pyarrow")
+        return feature_propagation(edges, feats, hops=2,
+                                   join_partitions=4)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -905,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_condensation_events": q_scc_condensation_events,
         "random_walks_events": q_random_walks_events,
         "mis_events": q_mis_events,
+        "feature_propagation_events": q_feature_propagation_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -923,7 +952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -951,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1132,6 +1161,15 @@ def _walks_sql_events() -> str:
     string node names back to int64, values identical)."""
     from pagerank_ray.graph.walks import walks_sql
     return walks_sql(_INT_EDGES, num_steps=3, seed=7)
+
+
+def _propagation_sql_events() -> str:
+    """Feature-propagation oracle: f = per-user event count, 2 hops
+    over the INT events edges."""
+    from pagerank_ray.graph.propagate import propagation_sql
+    feats = ("SELECT user_id AS node, COUNT(*) AS f FROM events "
+             "GROUP BY user_id")
+    return propagation_sql(_INT_EDGES, feats, hops=2)
 
 
 def _mis_sql_events() -> str:
@@ -1596,6 +1634,10 @@ def oracle_sql() -> dict[str, str]:
         # replay in HUGEINT, (p, node) rule via NOT EXISTS; the
         # engine wrapper asserts its real round count <= 8
         "mis_events": _mis_sql_events(),
+
+        # 2-hop feature propagation: two unrolled join+groupby
+        # rounds (y = A·f twice), exact ints
+        "feature_propagation_events": _propagation_sql_events(),
 
         # condensation DAG: SCC roots via the scc_events mutual-reach
         # recursion, then DISTINCT cross-component root pairs. The
