@@ -439,6 +439,27 @@ def bench_walks_scale() -> dict:
             "edges": CC_M}
 
 
+def bench_propagation_scale() -> dict:
+    """2-hop GNN feature propagation (y = A·f twice, f = 1, exact
+    ints) over the 10M-edge power-law graph: broadcast feature
+    lookup inside the edge scan + shuffle-free tree-sum aggregation
+    (stages/treeagg.py) — no shuffle touches the edge table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.graph.propagate import feature_propagation
+
+    d = _ensure_walk_edges(CC_N, CC_M)
+    feats = rd.from_arrow(pa.table({
+        "node": pa.array(np.arange(CC_N), pa.int64()),
+        "f": pa.array(np.ones(CC_N, np.int64))}))
+    t0 = time.time()
+    p = feature_propagation(rd.read_parquet(d), feats, hops=2)
+    return {"sec": time.time() - t0, "rows": p.num_rows,
+            "edges": CC_M}
+
+
 def _ensure_skewed_edges(m: int = 20_000_000) -> str:
     """Edge table with a DELIBERATE hot key: ~30% of all edges point
     at one hub (the synth corpus's "menu" pattern at adversarial
@@ -527,6 +548,7 @@ COMPONENTS = {
     "graph_extras": bench_graph_extras,
     "scc": bench_scc,
     "walks_scale": bench_walks_scale,
+    "propagation_scale": bench_propagation_scale,
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,
