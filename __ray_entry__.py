@@ -837,6 +837,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]), k=5)
 
+    def q_bigram_collocations(sf_dir):
+        """Top-20 adjacent-token bigrams with both unigram counts —
+        the exact-integer PMI collocation core
+        (pipelines/textstats.py:bigram_collocations): per-batch arrow
+        group_by partials, vocabulary-scale shuffles only, broadcast
+        key fetch for the winners' unigram counts."""
+        _quiet()
+        from pagerank_ray.pipelines.textstats import (
+            bigram_collocations)
+        return bigram_collocations(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), k=20)
+
     def q_stratified_sample_docs(sf_dir):
         """Deterministic per-language sha256 sampling (en 20%,
         de 80%, others 50%)."""
@@ -948,7 +961,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_collocations": q_bigram_collocations,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1262,7 +1276,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.similarity import (LABEL_CENTROIDS_SQL,
                                                    knn_lsh_sql as
                                                    _knn_lsh_sql)
-    from pagerank_ray.pipelines.textstats import (REDACT_SQL,
+    from pagerank_ray.pipelines.textstats import (BIGRAM_SQL,
+                                                  REDACT_SQL,
                                                   TOP_TERMS_SQL,
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.relational import (
@@ -1339,6 +1354,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN df d ON d.term = r.term
             WHERE rn <= 5
         """,
+        # (cnt DESC, w1, w2) is a total order -> deterministic LIMIT;
+        # UTF-8 byte order == code-point order so both engines agree
+        "bigram_collocations": BIGRAM_SQL.format(k=20),
         "stratified_sample_docs": stratified_sample_sql(
             {"en": 20, "de": 80}, 50),
         "redact_documents": REDACT_SQL,

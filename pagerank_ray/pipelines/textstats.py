@@ -296,3 +296,137 @@ def tfidf_top_terms(docs, k: int = 5, join_partitions: int | None = None):
 
     return joined.map_batches(_final, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ------------------------------------------- bigram collocations
+
+def bigram_collocations(docs, k: int = 20):
+    """Top-``k`` adjacent-token bigrams with both unigram counts
+    attached — the exact-integer core of PMI collocation mining
+    (PMI = ln(cnt·N / (c1·c2)) is the caller's one float; keeping
+    (cnt, c1, c2) integral makes the value hash engine-stable).
+    Returns a driver ``pa.Table`` (w1, w2, cnt, c1, c2) ordered by
+    (cnt DESC, w1 ASC, w2 ASC) — a total order.
+
+    Scale shape: ONE vectorized pass emits per-batch bigram partial
+    counts (adjacent FILTERED tokens within a document; arrow
+    group_by) and the same pass's unigram combiner rides the
+    ``top_terms`` machinery — both shuffles carry per-batch
+    vocabularies, never the token stream. Only the k winners and
+    their ≤ 2k distinct words reach the driver (broadcast key fetch
+    for the unigram counts).
+    """
+    i64 = pa.int64()
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        par = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        par = par.filter(keep).to_numpy(zero_copy_only=False)
+        w = flat.filter(keep)
+        if len(par) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same)
+        pairs = pa.table({"w1": w.take(pa.array(idx)),
+                          "w2": w.take(pa.array(idx + 1))})
+        g = pairs.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g.column("w1"),
+                         "w2": g.column("w2"),
+                         "cnt": pc.cast(g.column("w1_count"), i64)})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], i64)})
+        t = pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                      "cnt": t.column("sum(cnt)").cast(i64)})
+        if t.num_rows <= k:
+            return t
+        cnt = t.column("cnt").to_numpy()
+        o = np.lexsort((np.asarray(t.column("w2").to_pylist(),
+                                   dtype=object),
+                        np.asarray(t.column("w1").to_pylist(),
+                                   dtype=object), -cnt))[:k]
+        return t.take(pa.array(np.sort(o)))
+
+    docs = docs.materialize()
+    top = (docs.map_batches(bigram_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby(["w1", "w2"]).sum("cnt")
+           .map_batches(block_topk, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .sort(["cnt", "w1", "w2"], descending=[True, False, False])
+           .limit(k).to_pandas())
+
+    # unigram counts for ONLY the winners' words: the top_terms
+    # combiner + a broadcast word-set filter after the groupby
+    import ray as _ray
+
+    words = sorted(set(top["w1"]) | set(top["w2"]))
+    wref = _ray.put(pa.array(words, pa.string()))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        return pa.table({"term": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), i64)})
+
+    def keep_winners(t: pa.Table, *, wref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], i64)})
+        ws = _ray.get(wref) if isinstance(
+            wref, _ray.ObjectRef) else wref
+        t = pa.table({"term": t.column("term"),
+                      "cnt": t.column("sum(cnt)").cast(i64)})
+        return t.filter(pc.is_valid(pc.index_in(t.column("term"),
+                                                value_set=ws)))
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("term").sum("cnt")
+           .map_batches(keep_winners, fn_kwargs={"wref": wref},
+                        batch_format="pyarrow")
+           .to_pandas())
+    cmap = dict(zip(uni["term"], uni["cnt"]))
+    return pa.table({
+        "w1": pa.array(list(top["w1"]), pa.string()),
+        "w2": pa.array(list(top["w2"]), pa.string()),
+        "cnt": pa.array(top["cnt"].to_numpy(), i64),
+        "c1": pa.array([int(cmap[w]) for w in top["w1"]], i64),
+        "c2": pa.array([int(cmap[w]) for w in top["w2"]], i64),
+    })
+
+
+BIGRAM_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS w,
+               unnest(range(len(list_filter(
+                   regexp_split_to_array(text, '\s+'),
+                   x -> x <> '')))) AS i
+        FROM documents),
+    bg AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
+           FROM toks a JOIN toks b
+             ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           GROUP BY a.w, b.w),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)
+    SELECT bg.w1, bg.w2, bg.cnt, u1.c AS c1, u2.c AS c2
+    FROM bg JOIN uni u1 ON u1.w = bg.w1
+            JOIN uni u2 ON u2.w = bg.w2
+    ORDER BY bg.cnt DESC, bg.w1 ASC, bg.w2 ASC
+    LIMIT {k}
+"""

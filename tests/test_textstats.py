@@ -104,3 +104,19 @@ def test_tfidf_top_terms_matches_brute():
     from collections import Counter as C2
     per_doc = C2(t.doc_id)
     assert sum(1 for v in per_doc.values() if v == 5) >= n5
+
+
+def test_bigram_collocations_matches_duckdb():
+    import ray.data as rd
+    from pagerank_ray.pipelines.textstats import (BIGRAM_SQL,
+                                                  bigram_collocations)
+    sf = "/root/testdata/sf0.001"
+    got = bigram_collocations(
+        rd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]), k=20).to_pandas()
+    exp = _con().execute(BIGRAM_SQL.format(k=20)).df().astype(
+        {"cnt": "int64", "c1": "int64", "c2": "int64"})
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # PMI inputs sane: unigram counts bound the bigram count
+    assert (got.cnt <= got.c1).all() and (got.cnt <= got.c2).all()
+    assert (got.cnt.values[:-1] >= got.cnt.values[1:]).all()
