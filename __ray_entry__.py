@@ -577,6 +577,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return feature_propagation(edges, feats, hops=2,
                                    join_partitions=4)
 
+    def q_assortativity_events(sf_dir):
+        """Degree-assortativity sufficient statistics over the events
+        graph (engine extension, graph/metrics.py): the six exact
+        int64 sums (n, Σx, Σy, Σxy, Σx², Σy²) with x = out-degree of
+        the edge's source, y = in-degree of its target — the one
+        float r is the caller's. Broadcast degree vectors + one edge
+        scan + O(blocks) scalar sum."""
+        _quiet()
+        from pagerank_ray.graph.metrics import assortativity_stats
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "src": _pc.cast(t.column("src"), pa.int64()),
+                "dst": _pc.cast(t.column("dst"), pa.int64())})
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        return assortativity_stats(edges, join_partitions=4)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -947,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_events": q_random_walks_events,
         "mis_events": q_mis_events,
         "feature_propagation_events": q_feature_propagation_events,
+        "assortativity_events": q_assortativity_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -962,7 +983,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
@@ -994,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
     }
 
 
@@ -1175,6 +1196,11 @@ def _walks_sql_events() -> str:
     string node names back to int64, values identical)."""
     from pagerank_ray.graph.walks import walks_sql
     return walks_sql(_INT_EDGES, num_steps=3, seed=7)
+
+
+def _assort_sql_events() -> str:
+    from pagerank_ray.graph.metrics import ASSORTATIVITY_SQL
+    return ASSORTATIVITY_SQL.format(edges=_INT_EDGES)
 
 
 def _propagation_sql_events() -> str:
@@ -1656,6 +1682,10 @@ def oracle_sql() -> dict[str, str]:
         # 2-hop feature propagation: two unrolled join+groupby
         # rounds (y = A·f twice), exact ints
         "feature_propagation_events": _propagation_sql_events(),
+
+        # assortativity sufficient statistics: exact int sums, the
+        # float r left to the caller
+        "assortativity_events": _assort_sql_events(),
 
         # condensation DAG: SCC roots via the scc_events mutual-reach
         # recursion, then DISTINCT cross-component root pairs. The

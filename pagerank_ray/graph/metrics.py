@@ -1,0 +1,165 @@
+"""Whole-graph scalar metrics with exact-integer sufficient
+statistics — the engine-stable form of float graph analytics.
+
+``assortativity_stats`` computes the six integer sufficient
+statistics of Newman's degree assortativity over the directed edge
+list (x = out-degree of the edge's source, y = in-degree of its
+target):
+
+    (n_edges, Σx, Σy, Σxy, Σx², Σy²)
+
+from which the caller's one float is
+r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+Keeping the sufficient statistics integral makes the cross-engine
+value hash exact (the tfidf/bigram discipline). Range: Σx² ≤ m·d²max
+must fit int64 — fine through ~10^9 edges of bounded-degree web
+graphs; the oracle casts its HUGEINT sums down identically.
+
+Scale shape: two vocabulary-scale degree counts (the grouped_count
+combiner), degree vectors broadcast via ray.put (searchsorted lookup
+inside ONE edge scan; ≤ ``DEG_BROADCAST_MAX_ROWS``) or two
+partitioned hash joins beyond, then one scalar partial row per block
+and an O(blocks) global sum — the driver sees six numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+_I64 = pa.int64()
+
+DEG_BROADCAST_MAX_ROWS = 8_000_000
+
+_COLS = ("n_edges", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+
+
+def assortativity_stats(edges_ds,
+                        join_partitions: int | None = None
+                        ) -> pa.Table:
+    """-> one-row pa.Table (n_edges, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2), int64. ``edges_ds``: int64 (src, dst) edges (duplicates
+    count — each edge row contributes once)."""
+    import ray as _ray
+
+    from ..stages.aggregate import grouped_count
+    from ..stages.join import default_join_partitions, hash_join
+
+    nparts = join_partitions or default_join_partitions()
+    E = edges_ds.materialize()
+
+    def _deg(ds, key):
+        t = pa.Table.from_pandas(
+            grouped_count(ds, key, alias="c").to_pandas(),
+            preserve_index=False)
+        if t.num_rows == 0:
+            return np.array([], np.int64), np.array([], np.int64)
+        n = t.column(key).to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        o = np.argsort(n, kind="stable")
+        return n[o], c[o].astype(np.int64)
+
+    outdeg = _deg(E, "src")
+    indeg = _deg(E, "dst")
+    if len(outdeg[0]) > DEG_BROADCAST_MAX_ROWS \
+            or len(indeg[0]) > DEG_BROADCAST_MAX_ROWS:
+        return _assortativity_joins(E, nparts)
+    dref = _ray.put((outdeg, indeg))
+
+    def _partial(t: pa.Table, *, dref=dref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], _I64) for c in _COLS})
+        (on, oc), (inn, ic) = _ray.get(dref) if not isinstance(
+            dref, tuple) else dref
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        # every src/dst is present in its own degree table by
+        # construction — plain searchsorted lookup is total
+        x = oc[np.searchsorted(on, src)]
+        y = ic[np.searchsorted(inn, dst)]
+        return pa.table({
+            "n_edges": pa.array([len(src)], _I64),
+            "sum_x": pa.array([int(x.sum())], _I64),
+            "sum_y": pa.array([int(y.sum())], _I64),
+            "sum_xy": pa.array([int((x * y).sum())], _I64),
+            "sum_x2": pa.array([int((x * x).sum())], _I64),
+            "sum_y2": pa.array([int((y * y).sum())], _I64)})
+
+    return _final_sum(E.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+
+
+def _assortativity_joins(E, nparts: int) -> pa.Table:
+    """Partitioned-join tail for degree tables too big to broadcast."""
+    from ..stages.aggregate import grouped_count
+    from ..stages.join import hash_join
+
+    def _od(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], _I64),
+                             "x": pa.array([], _I64)})
+        return pa.table({"node": t.column("src").cast(_I64),
+                         "x": t.column("c").cast(_I64)})
+
+    def _id(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], _I64),
+                             "y": pa.array([], _I64)})
+        return pa.table({"node": t.column("dst").cast(_I64),
+                         "y": t.column("c").cast(_I64)})
+
+    od = grouped_count(E, "src", alias="c").map_batches(
+        _od, batch_format="pyarrow", zero_copy_batch=True)
+    idg = grouped_count(E, "dst", alias="c").map_batches(
+        _id, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(E.repartition(nparts), od, on=("src",),
+                   right_on=("node",),
+                   left_schema=[("src", _I64), ("dst", _I64)],
+                   right_schema=[("node", _I64), ("x", _I64)])
+    j2 = hash_join(j1.repartition(nparts), idg, on=("dst",),
+                   right_on=("node",),
+                   left_schema=[("src", _I64), ("dst", _I64),
+                                ("x", _I64)],
+                   right_schema=[("node", _I64), ("y", _I64)])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], _I64) for c in _COLS})
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_edges": pa.array([len(x)], _I64),
+            "sum_x": pa.array([int(x.sum())], _I64),
+            "sum_y": pa.array([int(y.sum())], _I64),
+            "sum_xy": pa.array([int((x * y).sum())], _I64),
+            "sum_x2": pa.array([int((x * x).sum())], _I64),
+            "sum_y2": pa.array([int((y * y).sum())], _I64)})
+
+    return _final_sum(j2.map_batches(_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+def _final_sum(partials) -> pa.Table:
+    agg = partials.sum(list(_COLS))
+    if agg is None or any(agg.get(f"sum({c})") is None
+                          for c in _COLS):  # empty dataset
+        return pa.table({c: pa.array([0], _I64) for c in _COLS})
+    return pa.table({c: pa.array([int(agg[f"sum({c})"])], _I64)
+                     for c in _COLS})
+
+
+ASSORTATIVITY_SQL = """
+    WITH e AS ({edges}),
+    od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+    idg AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst)
+    SELECT CAST(COUNT(*) AS BIGINT)        AS n_edges,
+           CAST(SUM(od.c) AS BIGINT)       AS sum_x,
+           CAST(SUM(idg.c) AS BIGINT)      AS sum_y,
+           CAST(SUM(od.c * idg.c) AS BIGINT)  AS sum_xy,
+           CAST(SUM(od.c * od.c) AS BIGINT)   AS sum_x2,
+           CAST(SUM(idg.c * idg.c) AS BIGINT) AS sum_y2
+    FROM e JOIN od ON od.src = e.src
+           JOIN idg ON idg.dst = e.dst
+"""
