@@ -597,6 +597,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             to_int, batch_format="pyarrow", zero_copy_batch=True)
         return assortativity_stats(edges, join_partitions=4)
 
+    def q_reciprocity_events(sf_dir):
+        """Directed reciprocity sufficient statistics (engine
+        extension, graph/metrics.py:reciprocity_stats): distinct
+        edges / self-loops / mutual {u,v} pairs as exact int64 — the
+        float r is the caller's. Tree dedupe + tree pair-sum, no
+        hash shuffle."""
+        _quiet()
+        from pagerank_ray.graph.metrics import reciprocity_stats
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "src": _pc.cast(t.column("src"), pa.int64()),
+                "dst": _pc.cast(t.column("dst"), pa.int64())})
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        return reciprocity_stats(edges, join_partitions=4)
+
     # ---- text analysis ----
 
     def q_token_counts(sf_dir):
@@ -968,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_events": q_mis_events,
         "feature_propagation_events": q_feature_propagation_events,
         "assortativity_events": q_assortativity_events,
+        "reciprocity_events": q_reciprocity_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
@@ -982,7 +1002,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
@@ -1015,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "minhash_lsh": q_minhash_lsh,
     }
 
 
@@ -1201,6 +1221,11 @@ def _walks_sql_events() -> str:
 def _assort_sql_events() -> str:
     from pagerank_ray.graph.metrics import ASSORTATIVITY_SQL
     return ASSORTATIVITY_SQL.format(edges=_INT_EDGES)
+
+
+def _recip_sql_events() -> str:
+    from pagerank_ray.graph.metrics import RECIPROCITY_SQL
+    return RECIPROCITY_SQL.format(edges=_INT_EDGES)
 
 
 def _propagation_sql_events() -> str:
@@ -1686,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         # assortativity sufficient statistics: exact int sums, the
         # float r left to the caller
         "assortativity_events": _assort_sql_events(),
+        "reciprocity_events": _recip_sql_events(),
 
         # condensation DAG: SCC roots via the scc_events mutual-reach
         # recursion, then DISTINCT cross-component root pairs. The

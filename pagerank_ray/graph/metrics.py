@@ -163,3 +163,116 @@ ASSORTATIVITY_SQL = """
     FROM e JOIN od ON od.src = e.src
            JOIN idg ON idg.dst = e.dst
 """
+
+
+def reciprocity_stats(edges_ds,
+                      join_partitions: int | None = None) -> pa.Table:
+    """Directed-graph reciprocity sufficient statistics, one int64
+    row: (n_distinct_edges, n_self_loops, n_reciprocal_pairs) —
+    reciprocity r = 2·pairs / (distinct − loops) is the caller's one
+    float. A pair {u,v} (u≠v) is reciprocal iff both (u,v) and (v,u)
+    appear.
+
+    Scale shape: distinct directed edges via the shuffle-free tree
+    dedupe (walks.lexmin_per_key over the composite (src, dst) key —
+    positional repartition + lexsort, groupby fallback past
+    TREE_MAX_ROWS), then each distinct non-loop edge contributes
+    1 (src<dst) or 2 (src>dst) to its canonical {min,max} pair and a
+    tree sum marks reciprocal pairs with 3 — no hash shuffle
+    anywhere at bench scale."""
+    from ..stages.join import default_join_partitions
+    from .walks import lexmin_per_key
+    from ..stages.treeagg import treesum_per_key
+
+    nparts = join_partitions or default_join_partitions()
+
+    def _dedup_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k1": pa.array([], _I64),
+                             "k2": pa.array([], _I64),
+                             "a": pa.array([], _I64),
+                             "b": pa.array([], _I64)})
+        s = t.column("src").cast(_I64)
+        d = t.column("dst").cast(_I64)
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"k1": s, "k2": d, "a": z, "b": z})
+
+    distinct = lexmin_per_key(
+        edges_ds.map_batches(_dedup_rows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        nparts, key_cols=("k1", "k2")).materialize()
+
+    def _counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_edges": pa.array([], _I64),
+                             "n_loops": pa.array([], _I64)})
+        s = t.column("k1").to_numpy(zero_copy_only=False)
+        d = t.column("k2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_edges": pa.array([len(s)], _I64),
+            "n_loops": pa.array([int((s == d).sum())], _I64)})
+
+    agg = distinct.map_batches(_counts, batch_format="pyarrow",
+                               zero_copy_batch=True).sum(
+        ["n_edges", "n_loops"])
+    if agg is None or agg.get("sum(n_edges)") is None:
+        n_edges = n_loops = 0
+    else:
+        n_edges = int(agg["sum(n_edges)"])
+        n_loops = int(agg["sum(n_loops)"])
+
+    def _canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], _I64),
+                             "b": pa.array([], _I64),
+                             "s": pa.array([], _I64)})
+        s = t.column("k1").to_numpy(zero_copy_only=False)
+        d = t.column("k2").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        # directions are already distinct, so the pair sum lands in
+        # {1, 2, 3}; 3 <=> both directions present
+        mark = np.where(s < d, 1, 2).astype(np.int64)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                         "s": pa.array(mark)})
+
+    pairs = treesum_per_key(
+        distinct.map_batches(_canon, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key_cols=("a", "b"), val="s")
+
+    def _recip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_recip": pa.array([], _I64)})
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"n_recip": pa.array([int((sv == 3).sum())],
+                                             _I64)})
+
+    # single-column Dataset.sum returns a bare scalar (or None on an
+    # empty dataset), not a dict
+    ragg = pairs.map_batches(_recip, batch_format="pyarrow",
+                             zero_copy_batch=True).sum("n_recip")
+    n_recip = 0 if ragg is None else int(ragg)
+
+    return pa.table({
+        "n_distinct_edges": pa.array([n_edges], _I64),
+        "n_self_loops": pa.array([n_loops], _I64),
+        "n_reciprocal_pairs": pa.array([n_recip], _I64)})
+
+
+RECIPROCITY_SQL = """
+    WITH e AS ({edges}),
+    d AS (SELECT DISTINCT src, dst FROM e),
+    canon AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+               SUM(CASE WHEN src < dst THEN 1 ELSE 2 END) AS s
+        FROM d WHERE src <> dst GROUP BY 1, 2)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+               AS n_distinct_edges,
+           CAST((SELECT COUNT(*) FROM d WHERE src = dst) AS BIGINT)
+               AS n_self_loops,
+           CAST((SELECT COUNT(*) FROM canon WHERE s = 3) AS BIGINT)
+               AS n_reciprocal_pairs
+"""
