@@ -793,6 +793,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return props_key_stats(sf_dir)
 
+    def q_funnel_events(sf_dir):
+        """Ordered-pair event funnel inside a one-day window
+        (pipelines/relational.py:funnel_counts): "exists a-event
+        before b-event" per user reduces to min_ts(a) < max_ts(b),
+        so the funnel is one per-(user, type) min/max combiner +
+        one partitioned self-join on user + a types²-sized count."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import funnel_counts
+        return funnel_counts(sf_dir, join_partitions=4)
+
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
     from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "props_key_stats": q_props_key_stats,
         "outlier_events": q_outlier_events,
+        "funnel_events": q_funnel_events,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1003,7 +1014,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "exact_dedup": q_exact_dedup,
         "dedup_clusters": q_dedup_clusters,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     }
 
 
@@ -1226,6 +1237,12 @@ def _assort_sql_events() -> str:
 def _recip_sql_events() -> str:
     from pagerank_ray.graph.metrics import RECIPROCITY_SQL
     return RECIPROCITY_SQL.format(edges=_INT_EDGES)
+
+
+def _funnel_sql() -> str:
+    from pagerank_ray.pipelines.relational import FUNNEL_SQL
+    return FUNNEL_SQL.format(date_from="2024-01-01",
+                             date_to="2024-01-02")
 
 
 def _propagation_sql_events() -> str:
@@ -1461,6 +1478,10 @@ def oracle_sql() -> dict[str, str]:
         "modal_event_type_per_user": MODAL_TYPE_SQL,
         "props_key_stats": PROPS_KEY_STATS_SQL,
         "outlier_events": OUTLIER_EVENTS_SQL.format(q=0.9),
+
+        # funnel: exists-before reduces to min(a) < max(b) per user;
+        # windowed, exact int counts
+        "funnel_events": _funnel_sql(),
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

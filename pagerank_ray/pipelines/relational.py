@@ -844,3 +844,140 @@ OUTLIER_EVENTS_SQL = """
     FROM events e JOIN thr ON thr.event_type = e.event_type
     WHERE e.value > thr.p
 """
+
+
+# ------------------------------------------------------------- funnel
+
+def funnel_counts(sf_dir: str, date_from: str = "2024-01-01",
+                  date_to: str = "2024-01-02",
+                  join_partitions: int | None = None) -> pa.Table:
+    """Ordered-pair event funnel over a time window: for every
+    ordered (type_a, type_b) pair, the number of users with an
+    ``type_a`` event strictly BEFORE some ``type_b`` event inside
+    [date_from, date_to) — the product-analytics funnel shape.
+    "exists a-event < b-event" reduces exactly to
+    ``min_ts(a) < max_ts(b)`` per user, so the whole funnel is ONE
+    per-(user, type) min/max aggregate + one self-join on user.
+    Returns (type_a, type_b, n_users) sorted, exact int64 counts.
+
+    Scale shape: windowed pruned read, per-batch arrow group_by
+    combiner for (user, type, min, max) — the shuffle carries one
+    row per (user, type, block) — then a partitioned self-join on
+    user and a types²-sized groupby of per-batch count partials.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo = np.int64(pd.Timestamp(date_from).value // 1000)
+    hi = np.int64(pd.Timestamp(date_to).value // 1000)
+    i64, s = pa.int64(), pa.string()
+    nparts = join_partitions or default_join_partitions()
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], i64),
+                          "event_type": pa.array([], s),
+                          "mn": pa.array([], i64),
+                          "mx": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        ts = t.column("ts").cast(i64)
+        t = pa.table({"user_id": t.column("user_id").cast(i64),
+                      "event_type": t.column("event_type"),
+                      "ts": ts})
+        t = t.filter(pc.and_(
+            pc.greater_equal(t.column("ts"), pa.scalar(int(lo), i64)),
+            pc.less(t.column("ts"), pa.scalar(int(hi), i64))))
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("ts", "min"), ("ts", "max")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "mn": g.column("ts_min").cast(i64),
+                         "mx": g.column("ts_max").cast(i64)})
+
+    from ray.data.aggregate import Max, Min
+
+    pt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_type", "ts"])
+          .map_batches(combine, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(["user_id", "event_type"])
+          .aggregate(Min("mn"), Max("mx")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], i64),
+                             "event_type": pa.array([], s),
+                             "mn": pa.array([], i64),
+                             "mx": pa.array([], i64)})
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "mn": t.column("min(mn)").cast(i64),
+                         "mx": t.column("max(mx)").cast(i64)})
+
+    pt = pt.map_batches(rename, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    sch = [("user_id", i64), ("event_type", s), ("mn", i64),
+           ("mx", i64)]
+    j = hash_join(pt.repartition(nparts), pt, on=("user_id",),
+                  left_suffix="_a", right_suffix="_b",
+                  left_schema=sch, right_schema=sch)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], s),
+                          "type_b": pa.array([], s),
+                          "n": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        keep = pc.and_(
+            pc.not_equal(t.column("event_type_a"),
+                         t.column("event_type_b")),
+            pc.less(t.column("mn_a"), t.column("mx_b")))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        g = (pa.table({"type_a": t.column("event_type_a"),
+                       "type_b": t.column("event_type_b")})
+             .group_by(["type_a", "type_b"])
+             .aggregate([("type_a", "count")]))
+        return pa.table({"type_a": g.column("type_a"),
+                         "type_b": g.column("type_b"),
+                         "n": pc.cast(g.column("type_a_count"), i64)})
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"type_a": pa.array([], s),
+                             "type_b": pa.array([], s),
+                             "n_users": pa.array([], i64)})
+        return pa.table({"type_a": t.column("type_a"),
+                         "type_b": t.column("type_b"),
+                         "n_users": t.column("sum(n)").cast(i64)})
+
+    out = (j.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby(["type_a", "type_b"]).sum("n")
+           .map_batches(final, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table({"type_a": pa.array([], s),
+                         "type_b": pa.array([], s),
+                         "n_users": pa.array([], i64)})
+    return tbl.sort_by([("type_a", "ascending"),
+                        ("type_b", "ascending")])
+
+
+FUNNEL_SQL = """
+    WITH w AS (SELECT * FROM events
+               WHERE ts >= TIMESTAMP '{date_from}'
+                 AND ts < TIMESTAMP '{date_to}'),
+    pt AS (SELECT user_id, event_type,
+                  MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+           FROM w GROUP BY 1, 2)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM pt a JOIN pt b ON b.user_id = a.user_id
+    WHERE a.event_type <> b.event_type AND a.mn < b.mx
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -297,3 +297,35 @@ def test_outlier_events_matches_duckdb():
     # ~10% of events survive a p90 filter
     n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     assert 0.02 * n < len(got) < 0.2 * n
+
+
+def test_funnel_counts_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from pagerank_ray.pipelines.relational import (FUNNEL_SQL,
+                                                   funnel_counts)
+    sf = "/root/testdata/sf0.001"
+    got = funnel_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(FUNNEL_SQL.format(
+        date_from="2024-01-01", date_to="2024-01-02")).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+    assert len(got) > 0
+    # funnel counts never exceed the window's user population
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE "
+        "ts >= TIMESTAMP '2024-01-01' AND "
+        "ts < TIMESTAMP '2024-01-02'").fetchone()[0]
+    assert (got.n_users <= n_users).all()
+
+
+def test_funnel_counts_empty_window():
+    from pagerank_ray.pipelines.relational import funnel_counts
+    got = funnel_counts("/root/testdata/sf0.001",
+                        date_from="1999-01-01", date_to="1999-01-02")
+    assert got.num_rows == 0
+    assert got.column_names == ["type_a", "type_b", "n_users"]
