@@ -55,6 +55,143 @@ def _prio(node: np.ndarray, rnd: int, seed: int) -> np.ndarray:
             ^ _MSB).view(np.int64)
 
 
+# below this node count, the alive set broadcasts via ray.put each
+# round (priorities are PURE hash functions of (node, round), so the
+# per-round edges ⋈ priorities joins exist only to restrict to alive
+# neighbors — a vectorized membership test replaces both); beyond it,
+# the fully-distributed Dataset round loop runs
+ALIVE_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _mis_broadcast(E, nodes_ds, seed: int, max_rounds: int,
+                   nparts: int, out_dir):
+    """Luby rounds with the shrinking alive set broadcast: per round,
+    ONE edge scan computes alive-restricted neighbor priority rows
+    (p is a pure hash — no join), the tree argmin picks winners, a
+    second scan collects the winners' neighborhoods, and the driver
+    maintains the sorted alive array (bounded by the initial node
+    count, which this path only serves when it fits)."""
+    import ray as _ray
+
+    from .walks import lexmin_per_key
+
+    tbl = pa.Table.from_pandas(nodes_ds.to_pandas(),
+                               preserve_index=False)
+    if tbl.num_rows == 0:
+        alive = np.array([], np.int64)
+    else:
+        alive = np.sort(tbl.column("key").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+
+    mis_nodes: list = []
+    mis_rounds: list = []
+    rounds_used = 0
+    for rnd in range(1, max_rounds + 1):
+        if len(alive) == 0:
+            break
+        rounds_used = rnd
+        aref = _ray.put(alive)
+
+        def _nbr_rows(t: pa.Table, *, aref=aref,
+                      rnd=rnd) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"key": pa.array([], _I64),
+                                 "a": pa.array([], _I64),
+                                 "b": pa.array([], _I64)})
+            al = _ray.get(aref) if not isinstance(
+                aref, np.ndarray) else aref
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(al, u)
+            iv = np.searchsorted(al, v)
+            ok = (iu < len(al)) & (iv < len(al))
+            ok[ok] &= (al[np.minimum(iu, len(al) - 1)][ok] == u[ok])
+            ok[ok] &= (al[np.minimum(iv, len(al) - 1)][ok] == v[ok])
+            if not ok.any():
+                return pa.table({"key": pa.array([], _I64),
+                                 "a": pa.array([], _I64),
+                                 "b": pa.array([], _I64)})
+            u, v = u[ok], v[ok]
+            p = _prio(v, rnd, seed)
+            k2, a2, b2 = _first_per_start(u, p, v)
+            return pa.table({"key": pa.array(k2),
+                             "a": pa.array(a2),
+                             "b": pa.array(b2)})
+
+        own = rd.from_arrow(pa.table({
+            "key": pa.array(alive),
+            "a": pa.array(_prio(alive, rnd, seed)),
+            "b": pa.array(alive)}))
+        cand = (E.map_batches(_nbr_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                .union(own)).materialize()
+        win_t = pa.Table.from_pandas(
+            lexmin_per_key(cand, nparts).to_pandas(),
+            preserve_index=False)
+        if win_t.num_rows == 0:
+            winners = np.array([], np.int64)
+        else:
+            k = win_t.column("key").to_numpy(zero_copy_only=False)
+            b = win_t.column("b").to_numpy(zero_copy_only=False)
+            winners = np.sort(k[k == b].astype(np.int64))
+        mis_nodes.append(winners)
+        mis_rounds.append(np.full(len(winners), rnd, np.int64))
+
+        wref = _ray.put(winners)
+
+        def _touched(t: pa.Table, *, wref=wref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"key": pa.array([], _I64),
+                                 "a": pa.array([], _I64),
+                                 "b": pa.array([], _I64)})
+            w = _ray.get(wref) if not isinstance(
+                wref, np.ndarray) else wref
+            if len(w) == 0:
+                return pa.table({"key": pa.array([], _I64),
+                                 "a": pa.array([], _I64),
+                                 "b": pa.array([], _I64)})
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(w, u)
+            ok = iu < len(w)
+            ok[ok] &= w[np.minimum(iu, len(w) - 1)][ok] == u[ok]
+            nb = np.unique(v[ok].astype(np.int64))
+            z = np.zeros(len(nb), np.int64)
+            return pa.table({"key": pa.array(nb), "a": pa.array(z),
+                             "b": pa.array(z)})
+
+        nb_t = pa.Table.from_pandas(
+            lexmin_per_key(
+                E.map_batches(_touched, batch_format="pyarrow",
+                              zero_copy_batch=True),
+                nparts).to_pandas(), preserve_index=False)
+        nbrs = (nb_t.column("key").to_numpy(zero_copy_only=False)
+                .astype(np.int64) if nb_t.num_rows else
+                np.array([], np.int64))
+        alive = np.setdiff1d(alive, np.union1d(winners, nbrs),
+                             assume_unique=False)
+    else:
+        if len(alive) > 0:
+            raise RuntimeError(
+                f"maximal_independent_set: {max_rounds} rounds "
+                f"exhausted with {len(alive)} alive nodes — raise "
+                f"max_rounds")
+
+    nodes = (np.concatenate(mis_nodes) if mis_nodes
+             else np.array([], np.int64))
+    rnds = (np.concatenate(mis_rounds) if mis_rounds
+            else np.array([], np.int64))
+    order = np.argsort(nodes, kind="stable")
+    tbl = pa.table({"node": pa.array(nodes[order]),
+                    "mis_round": pa.array(rnds[order])})
+    if out_dir is not None:
+        from .sink import sink_dataset
+        sink_dataset(rd.from_arrow(tbl), out_dir)
+        return None
+    return tbl.replace_schema_metadata(
+        {b"rounds_used": str(rounds_used).encode()})
+
+
 def maximal_independent_set(edges_ds, seed: int = 7,
                             max_rounds: int = 64,
                             join_partitions: int | None = None,
@@ -87,15 +224,34 @@ def maximal_independent_set(edges_ds, seed: int = 7,
     E = edges_ds.map_batches(_sym, batch_format="pyarrow",
                              zero_copy_batch=True).materialize()
 
+    def _node_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], _I64),
+                             "a": pa.array([], _I64),
+                             "b": pa.array([], _I64)})
+        u = np.unique(t.column("u").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        z = np.zeros(len(u), np.int64)
+        return pa.table({"key": pa.array(u), "a": pa.array(z),
+                         "b": pa.array(z)})
+
+    # distinct endpoints via the shuffle-free tree dedupe
+    # (symmetrized, so distinct u covers every endpoint)
+    nodes_ds = lexmin_per_key(
+        E.map_batches(_node_rows, batch_format="pyarrow",
+                      zero_copy_batch=True), nparts).materialize()
+
+    if nodes_ds.count() <= ALIVE_BROADCAST_MAX_ROWS:
+        return _mis_broadcast(E, nodes_ds, seed, max_rounds, nparts,
+                              out_dir)
+
     def _nodes(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"node": pa.array([], _I64)})
-        return pa.table({"node": t.column("u").cast(_I64)})
+        return pa.table({"node": t.column("key")})
 
-    # symmetrized, so distinct u covers every endpoint
-    A = (E.groupby("u").count()
-         .map_batches(_nodes, batch_format="pyarrow",
-                      zero_copy_batch=True).materialize())
+    A = nodes_ds.map_batches(_nodes, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
 
     mis_parts: list = []
     rounds_used = 0

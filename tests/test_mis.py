@@ -100,3 +100,23 @@ def test_mis_out_dir_sink(tmp_path):
     direct = maximal_independent_set(_edges(src, dst)).to_pandas()
     assert sorted(zip(back.node, back.mis_round)) \
         == sorted(zip(direct.node, direct.mis_round))
+
+
+def test_mis_dataset_path_matches_broadcast():
+    from pagerank_ray.graph import mis as mis_mod
+    rng = np.random.default_rng(14)
+    src = rng.integers(0, 60, 350)
+    dst = rng.integers(0, 60, 350)
+    a = maximal_independent_set(_edges(src, dst), seed=3)
+    old = mis_mod.ALIVE_BROADCAST_MAX_ROWS
+    try:
+        mis_mod.ALIVE_BROADCAST_MAX_ROWS = 0  # force Dataset path
+        b = maximal_independent_set(_edges(src, dst), seed=3)
+    finally:
+        mis_mod.ALIVE_BROADCAST_MAX_ROWS = old
+    assert sorted(zip(a.column("node").to_pylist(),
+                      a.column("mis_round").to_pylist())) \
+        == sorted(zip(b.column("node").to_pylist(),
+                      b.column("mis_round").to_pylist()))
+    assert a.schema.metadata[b"rounds_used"] \
+        == b.schema.metadata[b"rounds_used"]
