@@ -861,6 +861,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return bloom_pruned_order_lines(sf_dir, priority="1-URGENT")
 
+    def q_order_priority_counts(sf_dir):
+        """TPC-H Q4 shape
+        (pipelines/warehouse.py:order_priority_counts): EXISTS(late
+        lineitem) reduced to one per-order MAX(shipdate) (per-batch
+        combiner + groupby) — never a per-(order, line) semi-join;
+        the date-filtered orders side Bloom-prunes the lineitem scan
+        before the combiner shuffle. Exact integer counts."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import (
+            order_priority_counts)
+        return order_priority_counts(sf_dir)
+
+    def q_large_volume_orders(sf_dir):
+        """TPC-H Q18 shape
+        (pipelines/warehouse.py:large_volume_orders): per-order int64
+        quantity sums (combiner + groupby), HAVING filter BEFORE any
+        dimension access, qualifying keys Bloom-prune the orders scan,
+        exact hash join removes false positives. Exact integers."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import large_volume_orders
+        return large_volume_orders(sf_dir, min_qty=250)
+
     # ---- corpus text statistics ----
 
     from pagerank_ray.pipelines.textstats import (redact_documents,
@@ -898,6 +920,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bigram_collocations(
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]), k=20)
+
+    def q_cooccurrence_terms(sf_dir):
+        """Top-20 window-4 term co-occurrence pairs — the skip-gram /
+        word-embedding counting primitive
+        (pipelines/textstats.py:cooccurrence_terms): window shifted
+        comparisons over the flattened token stream per batch, arrow
+        group_by partials, vocabulary-scale shuffles only, per-block
+        top-k before the final sort. Exact integer counts."""
+        _quiet()
+        from pagerank_ray.pipelines.textstats import cooccurrence_terms
+        return cooccurrence_terms(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            window=4, k=20)
 
     def q_stratified_sample_docs(sf_dir):
         """Deterministic per-language sha256 sampling (en 20%,
@@ -975,7 +1011,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights": q_edge_weights,
         "dangling_nodes": q_dangling_nodes,
         "inlink_filter": q_inlink_filter,
-        "url_shape_filter": q_url_shape_filter,
         "query_filter_docs": q_query_filter_docs,
         "filtered_topk_events": q_filtered_topk_events,
         "sha256_documents": q_sha256_documents,
@@ -1011,13 +1046,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "returned_customer_revenue": q_returned_customer_revenue,
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
+        "order_priority_counts": q_order_priority_counts,
+        "large_volume_orders": q_large_volume_orders,
         "media_features": q_media_features,
-        "exact_dedup": q_exact_dedup,
         "dedup_clusters": q_dedup_clusters,
-        "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_collocations": q_bigram_collocations,
+        "cooccurrence_terms": q_cooccurrence_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
@@ -1039,6 +1075,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rounds 1-4) to make room for returned_customer_revenue,
         # random_walks_events and mis_events
         "top_terms": q_top_terms,
+        # rotated out (driver-green r1-r4) for
+        # order_priority_counts / large_volume_orders
+        "exact_dedup": q_exact_dedup,
+        "knn_lsh": q_knn_lsh,
+        # rotated out (driver-green r1-r4) for cooccurrence_terms
+        "url_shape_filter": q_url_shape_filter,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1345,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
                                                    knn_lsh_sql as
                                                    _knn_lsh_sql)
     from pagerank_ray.pipelines.textstats import (BIGRAM_SQL,
+                                                  COOCCURRENCE_SQL,
                                                   REDACT_SQL,
                                                   TOP_TERMS_SQL,
                                                   stratified_sample_sql)
@@ -1355,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
         WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
+                                                  LARGE_VOLUME_SQL,
+                                                  ORDER_PRIORITY_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
                                                   RETURNED_CUSTOMER_SQL,
@@ -1425,6 +1470,8 @@ def oracle_sql() -> dict[str, str]:
         # (cnt DESC, w1, w2) is a total order -> deterministic LIMIT;
         # UTF-8 byte order == code-point order so both engines agree
         "bigram_collocations": BIGRAM_SQL.format(k=20),
+        "cooccurrence_terms": COOCCURRENCE_SQL.format(
+            window=4, k=20),
         "stratified_sample_docs": stratified_sample_sql(
             {"en": 20, "de": 80}, 50),
         "redact_documents": REDACT_SQL,
@@ -1487,6 +1534,13 @@ def oracle_sql() -> dict[str, str]:
             segment="BUILDING", k=10),
         "bloom_pruned_order_lines": BLOOM_JOIN_SQL.format(
             priority="1-URGENT"),
+        # Q4 shape: EXISTS(late line) == per-order MAX(shipdate)
+        # beyond the 30-day grace; exact int counts
+        "order_priority_counts": ORDER_PRIORITY_SQL.format(
+            date_from="1996-01-01", date_to="1996-07-01",
+            late_days=30),
+        # Q18 shape: integral quantities sum exactly as BIGINT
+        "large_volume_orders": LARGE_VOLUME_SQL.format(min_qty=250),
         "revenue_by_nation": REVENUE_BY_NATION_SQL.format(
             region="ASIA", date_from="1996-01-01",
             date_to="1998-01-01"),

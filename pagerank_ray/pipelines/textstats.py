@@ -430,3 +430,111 @@ BIGRAM_SQL = r"""
     ORDER BY bg.cnt DESC, bg.w1 ASC, bg.w2 ASC
     LIMIT {k}
 """
+
+
+def cooccurrence_terms(docs, window: int = 4, k: int = 20):
+    """Top-``k`` unordered term pairs co-occurring within ``window``
+    token positions of each other (the skip-gram / word-embedding
+    co-occurrence primitive; each (i, j) position pair with
+    0 < j - i <= window counts once). Identical-word pairs are
+    dropped (they carry no association signal). Returns a driver
+    ``pa.Table`` (w1, w2, cnt) with w1 < w2, ordered by
+    (cnt DESC, w1 ASC, w2 ASC) — a total order.
+
+    Scale shape: one vectorized pass per batch emits canonicalized
+    pair partial counts (``window`` shifted comparisons over the
+    flattened token stream, arrow group_by combiner), so the shuffle
+    carries per-batch pair vocabularies, never the token stream; a
+    per-block top-k after the groupby bounds the final sort input to
+    k rows per block.
+    """
+    i64, s = pa.int64(), pa.string()
+    empty = pa.table({"w1": pa.array([], s), "w2": pa.array([], s),
+                      "cnt": pa.array([], i64)})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        par = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        par = par.filter(keep).to_numpy(zero_copy_only=False)
+        w = flat.filter(keep).combine_chunks()
+        n = len(par)
+        if n < 2:
+            return empty
+        lo_parts, hi_parts = [], []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            same = par[d:] == par[:-d]
+            if not same.any():
+                continue
+            idx = pa.array(np.flatnonzero(same))
+            a = w.take(idx)
+            b = w.take(pc.add(idx, pa.scalar(d, pa.int64())))
+            neq = pc.not_equal(a, b)
+            a, b = a.filter(neq), b.filter(neq)
+            swap = pc.greater(a, b)
+            lo_parts.append(pc.if_else(swap, b, a))
+            hi_parts.append(pc.if_else(swap, a, b))
+        if not lo_parts:
+            return empty
+        pairs = pa.table({
+            "w1": pa.concat_arrays([p.combine_chunks()
+                                    if isinstance(p, pa.ChunkedArray)
+                                    else p for p in lo_parts]),
+            "w2": pa.concat_arrays([p.combine_chunks()
+                                    if isinstance(p, pa.ChunkedArray)
+                                    else p for p in hi_parts])})
+        g = pairs.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "cnt": pc.cast(g.column("w1_count"), i64)})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                      "cnt": t.column("sum(cnt)").cast(i64)})
+        if t.num_rows <= k:
+            return t
+        cnt = t.column("cnt").to_numpy()
+        o = np.lexsort((np.asarray(t.column("w2").to_pylist(),
+                                   dtype=object),
+                        np.asarray(t.column("w1").to_pylist(),
+                                   dtype=object), -cnt))[:k]
+        return t.take(pa.array(np.sort(o)))
+
+    top = (docs.map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby(["w1", "w2"]).sum("cnt")
+           .map_batches(block_topk, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .sort(["cnt", "w1", "w2"], descending=[True, False, False])
+           .limit(k).to_pandas())
+    return pa.table({
+        "w1": pa.array(list(top["w1"]), s),
+        "w2": pa.array(list(top["w2"]), s),
+        "cnt": pa.array(top["cnt"].to_numpy(), i64)})
+
+
+COOCCURRENCE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS w,
+               unnest(range(len(list_filter(
+                   regexp_split_to_array(text, '\s+'),
+                   x -> x <> '')))) AS i
+        FROM documents)
+    SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+           COUNT(*) AS cnt
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id
+     AND b.i > a.i AND b.i <= a.i + {window}
+     AND a.w <> b.w
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, w1 ASC, w2 ASC
+    LIMIT {k}
+"""

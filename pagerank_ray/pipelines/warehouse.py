@@ -726,3 +726,204 @@ RETURNED_CUSTOMER_SQL = """
     ORDER BY revenue DESC, c.c_custkey ASC
     LIMIT {k}
 """
+
+
+# ------------------------------------------------------- Q4 / Q18 shapes
+
+_Q4_FROM = "1996-01-01"
+_Q4_TO = "1996-07-01"
+_Q4_LATE_DAYS = 30
+
+
+def order_priority_counts(sf_dir: str, date_from: str = _Q4_FROM,
+                          date_to: str = _Q4_TO,
+                          late_days: int = _Q4_LATE_DAYS) -> pa.Table:
+    """TPC-H Q4 shape: per order priority, the number of orders placed
+    in [date_from, date_to) with at least one lineitem shipped more
+    than ``late_days`` days after the order date (the sandbox tables
+    carry no commit/receipt dates, so shipdate-vs-orderdate lateness
+    stands in for Q4's l_commitdate < l_receiptdate). Exact integers.
+
+    Scale shape: EXISTS(ship > od + D) == max_ship(order) > od + D,
+    so the operator is one per-order MAX (per-batch combiner + one
+    groupby) — never a per-(order, line) semi-join. The date-filtered
+    orders side builds a mergeable Bloom filter over its keys and
+    prunes the lineitem scan BEFORE the combiner shuffle (the
+    bloom_pruned_order_lines discipline; false positives are removed
+    by the exact hash join). The final conditional count shuffles
+    O(priorities) rows per block. Returns
+    (o_orderpriority, order_count) sorted by priority.
+    """
+    from ..stages.bloom import bloom_prune, build_bloom
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    i64, s = pa.int64(), pa.string()
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(i64)
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(int(lo), i64)),
+                       pc.less(od, pa.scalar(int(hi), i64)))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_orderpriority": t.column("o_orderpriority"),
+                         "od_us": od}).filter(keep)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow",
+                  zero_copy_batch=True).materialize()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    n_keys = max(1, orders.count())
+    bloom = build_bloom(orders.select_columns(["o_orderkey"]),
+                        "o_orderkey", n_expected=n_keys)
+    li = bloom_prune(li, bloom, "l_orderkey")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "max_ship": pa.array([], i64)})
+        df = (pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "max_ship": t.column("l_shipdate").cast(i64).to_numpy()})
+              .groupby("l_orderkey", sort=False).max().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    maxship = (li.map_batches(li_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("l_orderkey").max("max_ship"))
+
+    joined = hash_join(
+        maxship.repartition(default_join_partitions()), orders,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        left_schema=[("l_orderkey", i64), ("max(max_ship)", i64)],
+        right_schema=[("o_orderkey", i64), ("o_orderpriority", s),
+                      ("od_us", i64)])
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], s),
+                             "order_count": pa.array([], i64)})
+        late = (t.column("max(max_ship)").to_numpy(zero_copy_only=False)
+                > t.column("od_us").to_numpy(zero_copy_only=False)
+                + late_us)
+        prio = np.asarray(t.column("o_orderpriority").to_pylist(),
+                          dtype=object)[late]
+        df = (pd.DataFrame({"o_orderpriority": prio})
+              .groupby("o_orderpriority", sort=False)
+              .size().rename("order_count").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (joined.map_batches(prio_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_orderpriority").sum("order_count"))
+    t = agg.to_pandas()
+    if t.empty:  # schema-less empty groupby output
+        return pa.table({"o_orderpriority": pa.array([], s),
+                         "order_count": pa.array([], i64)})
+    t = t.sort_values("o_orderpriority")
+    return pa.table({
+        "o_orderpriority": pa.array(t["o_orderpriority"], s),
+        "order_count": pa.array(
+            t["sum(order_count)"].to_numpy().astype(np.int64), i64)})
+
+
+ORDER_PRIORITY_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate < TIMESTAMP '{date_to}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                        + INTERVAL {late_days} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def large_volume_orders(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer key and order date attached. Exact
+    integers (l_quantity is integral in TPC-H; summed as int64).
+    Returns a Dataset (o_orderkey, o_custkey, o_orderdate_us,
+    total_qty) sorted by (total_qty DESC, o_orderkey ASC) — a Dataset
+    because the qualifying set is a data-sized fraction of orders, not
+    a fixed top-k.
+
+    Scale shape: per-order quantity sums via a per-batch combiner +
+    one groupby; the HAVING filter runs on the aggregate BEFORE any
+    dimension access; the qualifying keys (the small side by
+    construction) build a Bloom filter that prunes the orders scan,
+    and the exact hash join removes false positives. The orders table
+    never shuffles in full.
+    """
+    from ..stages.bloom import bloom_prune, build_bloom
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64 = pa.int64()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "qty": pa.array([], i64)})
+        q = np.round(t.column("l_quantity").to_numpy()).astype(np.int64)
+        df = (pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "qty": q})
+              .groupby("l_orderkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    qsum = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+            .map_batches(li_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("l_orderkey").sum("qty"))
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], i64),
+                             "total_qty": pa.array([], i64)})
+        tq = pc.cast(t.column("sum(qty)"), i64)
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "total_qty": tq}).filter(
+            pc.greater(tq, pa.scalar(int(min_qty), i64)))
+
+    big = qsum.map_batches(keep_big, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n_keys = max(1, big.count())
+    bloom = build_bloom(big.select_columns(["o_orderkey"]),
+                        "o_orderkey", n_expected=n_keys)
+    orders = bloom_prune(orders, bloom, "o_orderkey").map_batches(
+        lambda t: pa.table({
+            "o_orderkey2": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_orderdate_us": t.column("o_orderdate").cast(i64)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(
+        big.repartition(default_join_partitions()), orders,
+        on=("o_orderkey",), right_on=("o_orderkey2",),
+        left_schema=[("o_orderkey", i64), ("total_qty", i64)],
+        right_schema=[("o_orderkey2", i64), ("o_custkey", i64),
+                      ("o_orderdate_us", i64)])
+    return joined.sort(["total_qty", "o_orderkey"],
+                       descending=[True, False])
+
+
+LARGE_VOLUME_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           epoch_us(o.o_orderdate) AS o_orderdate_us,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    HAVING SUM(l.l_quantity) > {min_qty}
+    ORDER BY total_qty DESC, o.o_orderkey ASC
+"""

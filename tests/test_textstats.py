@@ -120,3 +120,48 @@ def test_bigram_collocations_matches_duckdb():
     # PMI inputs sane: unigram counts bound the bigram count
     assert (got.cnt <= got.c1).all() and (got.cnt <= got.c2).all()
     assert (got.cnt.values[:-1] >= got.cnt.values[1:]).all()
+
+
+def test_cooccurrence_terms_matches_duckdb():
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import (COOCCURRENCE_SQL,
+                                                  cooccurrence_terms)
+    sf = "/root/testdata/sf0.001"
+    got = cooccurrence_terms(
+        rd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=4, k=20).to_pandas()
+    exp = _con().execute(COOCCURRENCE_SQL.format(
+        window=4, k=20)).df().astype({"cnt": "int64"})
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    assert (got.w1 < got.w2).all()  # canonical unordered pairs
+    assert (got.cnt.values[:-1] >= got.cnt.values[1:]).all()
+
+
+def test_cooccurrence_window1_equals_unordered_bigrams():
+    # window=1 co-occurrence == adjacency: every pair must also be a
+    # bigram (in one of the two orders) with cnt >= the co-occurrence
+    # count only when orders collapse; check against a brute force.
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import cooccurrence_terms
+    sf = "/root/testdata/sf0.001"
+    got = cooccurrence_terms(
+        rd.read_parquet(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=1, k=10).to_pandas()
+    import collections
+
+    import pyarrow.parquet as _pq
+    cnt = collections.Counter()
+    for txt in _pq.read_table(
+            f"{sf}/documents.parquet",
+            columns=["text"]).column("text").to_pylist():
+        toks = [w for w in txt.split() if w]
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                cnt[(min(a, b), max(a, b))] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((r.w1, r.w2), r.cnt)
+            for r in got.itertuples()] == want

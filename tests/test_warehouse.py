@@ -139,3 +139,53 @@ def test_returned_customer_revenue_matches_duckdb():
     # revenue strictly positive and sorted desc
     assert (got.revenue > 0).all()
     assert (got.revenue.values[:-1] >= got.revenue.values[1:]).all()
+
+
+def test_order_priority_counts_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (ORDER_PRIORITY_SQL,
+                                                  order_priority_counts)
+    got = order_priority_counts(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(ORDER_PRIORITY_SQL.format(
+        date_from="1996-01-01", date_to="1996-07-01",
+        late_days=30)).df()
+    assert got["o_orderpriority"].tolist() == \
+        exp["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == exp["order_count"].tolist()
+    assert got["order_count"].sum() > 0
+
+
+def test_order_priority_counts_empty_window():
+    from pagerank_ray.pipelines.warehouse import order_priority_counts
+    got = order_priority_counts(SF, date_from="1970-01-01",
+                                date_to="1970-02-01").to_pandas()
+    assert len(got) == 0
+
+
+def test_large_volume_orders_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (LARGE_VOLUME_SQL,
+                                                  large_volume_orders)
+    got = large_volume_orders(SF, min_qty=250).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(LARGE_VOLUME_SQL.format(min_qty=250)).df()
+    assert len(got) == len(exp) > 0
+    for c in ("o_orderkey", "o_custkey", "o_orderdate_us", "total_qty"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    # every qualifying order really exceeds the threshold
+    assert (got["total_qty"] > 250).all()
+
+
+def test_large_volume_orders_impossible_threshold():
+    from pagerank_ray.pipelines.warehouse import large_volume_orders
+    got = large_volume_orders(SF, min_qty=10**9).to_pandas()
+    assert len(got) == 0
