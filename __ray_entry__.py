@@ -366,6 +366,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"node": t.column("node"),
                          "dist": t.column("dist")})
 
+    def q_closeness_events(sf_dir):
+        """Closeness-centrality sufficient statistics from the 3
+        lexicographically-smallest nodes (= ids 0..2: build_graph
+        assigns dense ids in sorted-name order) over the undirected
+        events graph (engine extension,
+        graph/bfs.py:closeness_stats): per seed, reachable-set size
+        (incl. the seed), sum of hop distances, eccentricity — exact
+        int64; closeness (n-1)/sum is the caller's float. One warmed
+        pool serves all seeds; the driver sees O(workers) scalars per
+        seed, never a distance vector."""
+        _quiet()
+        from pagerank_ray.graph.bfs import closeness_stats
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = closeness_stats(gdir, seed_ids=[0, 1, 2])
+        names = _node_names(gdir)
+        seeds = names[t.column("id").to_numpy()]
+        return pa.table({
+            "seed": pa.array(seeds.astype(object), pa.string()),
+            "n_reached": t.column("n_reached"),
+            "sum_dist": t.column("sum_dist"),
+            "max_dist": t.column("max_dist")})
+
     def q_scc_events(sf_dir):
         """Strongly connected components of the DIRECTED events graph
         (engine extension, graph/scc.py): pivot-min forward/backward
@@ -1011,7 +1033,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights": q_edge_weights,
         "dangling_nodes": q_dangling_nodes,
         "inlink_filter": q_inlink_filter,
-        "query_filter_docs": q_query_filter_docs,
         "filtered_topk_events": q_filtered_topk_events,
         "sha256_documents": q_sha256_documents,
         "pagerank_events": q_pagerank_events,
@@ -1019,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_events": q_search_events,
         "connected_components_events": q_connected_components_events,
         "bfs_events": q_bfs_events,
+        "closeness_events": q_closeness_events,
         "kcore_events": q_kcore_events,
         "scc_events": q_scc_events,
         "label_propagation_events": q_label_propagation_events,
@@ -1081,6 +1103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         # rotated out (driver-green r1-r4) for cooccurrence_terms
         "url_shape_filter": q_url_shape_filter,
+        # rotated out (driver-green r1-r4) for closeness_events
+        "query_filter_docs": q_query_filter_docs,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1682,6 +1706,30 @@ def oracle_sql() -> dict[str, str]:
                      WHERE walk.dist < (SELECT COUNT(*) FROM nodes)
                  )
             SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+        """,
+
+        # closeness: 3-seed BFS stats; seeds = 3 smallest node
+        # names (string order = id order); exact int sums
+        "closeness_events": f"""
+            WITH RECURSIVE
+                 und AS (SELECT src AS u, dst AS v FROM ({_EDGES})
+                         UNION
+                         SELECT dst AS u, src AS v FROM ({_EDGES})),
+                 nodes AS (SELECT DISTINCT u AS node FROM und),
+                 seeds AS (SELECT node AS s FROM nodes
+                           ORDER BY node LIMIT 3),
+                 walk(s, node, dist) AS (
+                     SELECT s, s, CAST(0 AS BIGINT) FROM seeds
+                     UNION
+                     SELECT walk.s, und.v AS node, walk.dist + 1
+                     FROM walk JOIN und ON und.u = walk.node
+                     WHERE walk.dist < (SELECT COUNT(*) FROM nodes)
+                 ),
+                 d AS (SELECT s, node, MIN(dist) AS dist FROM walk
+                       GROUP BY s, node)
+            SELECT s AS seed, COUNT(*) AS n_reached,
+                   SUM(dist) AS sum_dist, MAX(dist) AS max_dist
+            FROM d GROUP BY s ORDER BY s
         """,
 
         "triangles_events": f"""

@@ -925,6 +925,20 @@ class GraphWorker:
         return [(np.arange(sh.n_local, dtype=np.int64) * self.P + sh.part,
                  sh.names, sh.labels.copy()) for sh in self.shards]
 
+    def label_stats(self):
+        """Per-worker (n_reached, sum, max) over the current labels,
+        excluding the INF sentinel n — the BFS closeness-centrality
+        reduction. O(1) driver bytes per worker; the distance vector
+        never leaves the shard."""
+        cnt, tot, mx = 0, 0, -1
+        for sh in self.shards:
+            v = sh.labels[sh.labels < self.n]
+            cnt += int(v.size)
+            tot += int(v.sum())
+            if v.size:
+                mx = max(mx, int(v.max()))
+        return cnt, tot, mx
+
     # -------- label checkpoint/resume (CC + LPA) ----------------------
     #
     # Same per-SHARD discipline as pr_save/pr_load: atomic tmp+rename,

@@ -156,3 +156,62 @@ def bfs_distances(graph_dir: str, seed_nodes=None,
     finally:
         if own:
             kill_workers(W)
+
+
+def closeness_stats(graph_dir: str, seed_ids,
+                    max_rounds: int = 10_000,
+                    num_workers: int | None = None,
+                    exchange: str = "auto") -> pa.Table:
+    """Per-seed closeness-centrality sufficient statistics over the
+    graph at ``graph_dir``: for each seed, the reachable-set size
+    (INCLUDING the seed itself at distance 0), the sum of hop
+    distances, and the maximum hop distance (the seed's eccentricity
+    within its component). Exact int64 — closeness
+    (n_reached-1)/sum_dist, harmonic and eccentricity variants are
+    the caller's one float, keeping the cross-engine value hash
+    stable (the assortativity_stats discipline).
+
+    Scale shape: ONE warmed worker pool is shared by every seed's BFS
+    (shards load once); per seed the driver sees O(workers) scalar
+    partials from ``label_stats`` — the distance vector never leaves
+    the shards. Returns (id, n_reached, sum_dist, max_dist) sorted by
+    id; callers attach node names from the partitioned dictionary.
+    """
+    meta = gb.read_meta(graph_dir)
+    seed_ids = np.unique(np.asarray(list(seed_ids), dtype=np.int64))
+    if len(seed_ids) == 0:
+        raise ValueError("empty seed set")
+    if seed_ids[0] < 0 or seed_ids[-1] >= meta["n"]:
+        raise ValueError(
+            f"seed ids out of range [0, {meta['n']}): "
+            f"{seed_ids[[0, -1]].tolist()}")
+    if exchange == "auto":
+        exchange = "split" if meta["n"] > 32_000_000 else "concat"
+    W = create_workers(graph_dir, meta, num_workers=num_workers)[0]
+    try:
+        rows = []
+        for sid in seed_ids.tolist():
+            found = sum(ray.get([w.bfs_init.remote([sid]) for w in W]))
+            assert found == 1, f"seed {sid} not covered by any shard"
+            converged = False
+            for _ in range(max_rounds):
+                if min_round(W, exchange) == 0:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"closeness_stats BFS from seed {sid} did not "
+                    f"converge within {max_rounds} rounds")
+            parts = ray.get([w.label_stats.remote() for w in W])
+            rows.append((sid,
+                         sum(p[0] for p in parts),
+                         sum(p[1] for p in parts),
+                         max(p[2] for p in parts)))
+        i64 = pa.int64()
+        return pa.table({
+            "id": pa.array([r[0] for r in rows], i64),
+            "n_reached": pa.array([r[1] for r in rows], i64),
+            "sum_dist": pa.array([r[2] for r in rows], i64),
+            "max_dist": pa.array([r[3] for r in rows], i64)})
+    finally:
+        kill_workers(W)

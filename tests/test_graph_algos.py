@@ -700,3 +700,48 @@ def test_scc_trim_only_dag():
     want = scc_oracle(pairs)
     assert got == want
     assert all(k == v for k, v in got.items())  # all singletons
+
+
+def test_closeness_stats_matches_python_bfs(tmp_path):
+    """Per-seed (n_reached, sum_dist, max_dist) == plain-python BFS
+    sums; worker-count invariance; id order; seed included at d=0."""
+    from pagerank_ray.graph.bfs import closeness_stats
+
+    from .oracle import bfs_oracle
+
+    edges, n_comp = component_fixture_edges()
+    assert n_comp > 1
+    gdir = str(tmp_path / "g")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=4,
+                undirected=True)
+    import pagerank_ray.graph.build as gb
+    nodes = gb.load_nodes(gdir)
+    id2name = dict(zip(nodes.column("id").to_pylist(),
+                       nodes.column("node").to_pylist()))
+    got = closeness_stats(gdir, seed_ids=[0, 2, 5]).to_pylist()
+    assert [r["id"] for r in got] == [0, 2, 5]
+    for r in got:
+        d = bfs_oracle(_pairs(edges), [id2name[r["id"]]])
+        assert r["n_reached"] == len(d)
+        assert r["sum_dist"] == sum(d.values())
+        assert r["max_dist"] == max(d.values())
+    # invariant across worker counts and duplicate/unsorted seeds
+    got2 = closeness_stats(gdir, seed_ids=[5, 0, 2, 0],
+                           num_workers=2).to_pylist()
+    assert got2 == got
+
+
+def test_closeness_stats_seed_validation(tmp_path):
+    from pagerank_ray.graph.bfs import closeness_stats
+
+    edges, _ = component_fixture_edges()
+    gdir = str(tmp_path / "gv")
+    build_graph(from_arrow_edges(edges), gdir, num_parts=2,
+                undirected=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        closeness_stats(gdir, seed_ids=[])
+    with _pytest.raises(ValueError):
+        closeness_stats(gdir, seed_ids=[-1])
+    with _pytest.raises(ValueError):
+        closeness_stats(gdir, seed_ids=[10**9])
