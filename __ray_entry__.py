@@ -571,6 +571,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"MIS took {rounds} rounds; raise the oracle unroll")
         return t.replace_schema_metadata(None)
 
+    def q_link_prediction_events(sf_dir):
+        """Top-20 common-neighbor link predictions on the SPARSIFIED
+        events graph (engine extension, graph/linkpred.py): for
+        non-adjacent pairs, cn = |N(u) ∩ N(v)| plus the preferential
+        attachment product deg(u)·deg(v) — exact int64. Sparsified
+        with the mis_events (src*31+dst) % 37 < 2 rule: wedge
+        enumeration is inherently Σ deg², and the full events graph
+        is near-complete (non-edges barely exist). Wedges emit from
+        map_groups-co-located neighbor lists via shifted-run
+        comparisons; existing edges are removed by an edge flag on
+        the same shuffle (no anti-join)."""
+        _quiet()
+        from pagerank_ray.graph.linkpred import (
+            common_neighbor_candidates)
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            s = _pc.cast(t.column("src"), pa.int64())
+            d = _pc.cast(t.column("dst"), pa.int64())
+            sn = s.to_numpy(zero_copy_only=False)
+            dn = d.to_numpy(zero_copy_only=False)
+            return pa.table({"src": s, "dst": d}).filter(
+                pa.array((sn * 31 + dn) % 37 < 2))
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        return common_neighbor_candidates(edges, k=20,
+                                          join_partitions=4)
+
     def q_feature_propagation_events(sf_dir):
         """GNN-style 2-hop feature propagation over the events graph
         (engine extension, graph/propagate.py): f = per-user event
@@ -1033,7 +1062,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights": q_edge_weights,
         "dangling_nodes": q_dangling_nodes,
         "inlink_filter": q_inlink_filter,
-        "filtered_topk_events": q_filtered_topk_events,
         "sha256_documents": q_sha256_documents,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
@@ -1052,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_condensation_events": q_scc_condensation_events,
         "random_walks_events": q_random_walks_events,
         "mis_events": q_mis_events,
+        "link_prediction_events": q_link_prediction_events,
         "feature_propagation_events": q_feature_propagation_events,
         "assortativity_events": q_assortativity_events,
         "reciprocity_events": q_reciprocity_events,
@@ -1105,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_shape_filter": q_url_shape_filter,
         # rotated out (driver-green r1-r4) for closeness_events
         "query_filter_docs": q_query_filter_docs,
+        # rotated out (driver-green r1-r4) for link_prediction_events
+        "filtered_topk_events": q_filtered_topk_events,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1328,6 +1359,16 @@ def _mis_sql_events() -> str:
               f"WHERE (CAST(src AS BIGINT) * 31"
               f" + CAST(dst AS BIGINT)) % 37 < 2")
     return mis_sql(sparse, rounds=8, seed=7)
+
+
+def _linkpred_sql_events() -> str:
+    """Common-neighbor link-prediction oracle over the SPARSIFIED
+    INT events edges (the mis_events (src*31+dst) % 37 < 2 rule)."""
+    from pagerank_ray.graph.linkpred import LINKPRED_SQL
+    sparse = (f"SELECT src, dst FROM ({_INT_EDGES}) "
+              f"WHERE (CAST(src AS BIGINT) * 31"
+              f" + CAST(dst AS BIGINT)) % 37 < 2")
+    return LINKPRED_SQL.format(edges=sparse, k=20)
 
 
 def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
@@ -1826,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         # replay in HUGEINT, (p, node) rule via NOT EXISTS; the
         # engine wrapper asserts its real round count <= 8
         "mis_events": _mis_sql_events(),
+        "link_prediction_events": _linkpred_sql_events(),
 
         # 2-hop feature propagation: two unrolled join+groupby
         # rounds (y = A·f twice), exact ints

@@ -85,3 +85,59 @@ def test_reciprocity_known_and_empty():
                  "n_reciprocal_pairs": 1}
     z = reciprocity_stats(_edges([], []))
     assert all(z.column(c)[0].as_py() == 0 for c in z.column_names)
+
+
+def _linkpred_brute(src, dst, k):
+    """Python brute force: cn for all non-adjacent pairs."""
+    import itertools
+    E = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = []
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if (u, v) in E:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn > 0:
+            rows.append((cn, u, v, len(adj[u]) * len(adj[v])))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return [(u, v, cn, ps) for cn, u, v, ps in rows[:k]]
+
+
+def test_link_prediction_matches_brute():
+    from pagerank_ray.graph.linkpred import common_neighbor_candidates
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 120)
+    dst = rng.integers(0, 40, 120)
+    got = common_neighbor_candidates(
+        _edges(src, dst).repartition(4), k=15, join_partitions=4)
+    want = _linkpred_brute(src, dst, 15)
+    assert [(r["u"], r["v"], r["cn"], r["pa_score"])
+            for r in got.to_pylist()] == want
+
+
+def test_link_prediction_hand_checked_and_edge_cases():
+    from pagerank_ray.graph.linkpred import common_neighbor_candidates
+    # path graph 0-1-2-3: non-edges (0,2),(1,3) share 1 neighbor;
+    # (0,3) shares none. Degrees: 0:1, 1:2, 2:2, 3:1.
+    got = common_neighbor_candidates(
+        _edges([0, 1, 2], [1, 2, 3]), k=10,
+        join_partitions=2).to_pylist()
+    assert got == [
+        {"u": 0, "v": 2, "cn": 1, "pa_score": 1 * 2},
+        {"u": 1, "v": 3, "cn": 1, "pa_score": 2 * 1}]
+    # triangle: every pair adjacent -> no candidates
+    got = common_neighbor_candidates(
+        _edges([0, 1, 2], [1, 2, 0]), k=10,
+        join_partitions=2).to_pylist()
+    assert got == []
+    # duplicate + reversed edges collapse; self-loops dropped
+    got = common_neighbor_candidates(
+        _edges([0, 1, 1, 2, 0, 3, 3],
+               [1, 0, 2, 1, 0, 3, 1]), k=10,
+        join_partitions=2).to_pylist()
+    # simple graph: 0-1, 1-2, 1-3; pairs via center 1
+    assert [(r["u"], r["v"], r["cn"]) for r in got] == \
+        [(0, 2, 1), (0, 3, 1), (2, 3, 1)]
