@@ -854,6 +854,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.relational import funnel_counts
         return funnel_counts(sf_dir, join_partitions=4)
 
+    def q_retention_cohorts(sf_dir):
+        """Cohort retention triangle
+        (pipelines/relational.py:retention_cohorts): per-batch
+        (user, week) dedupe, ONE groupby(user) with a vectorized
+        map_groups cohort/offset emission, tiny final groupby.
+        Exact int64 distinct-user counts."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import retention_cohorts
+        return retention_cohorts(sf_dir, period_days=7)
+
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
     from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
@@ -1062,7 +1072,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights": q_edge_weights,
         "dangling_nodes": q_dangling_nodes,
         "inlink_filter": q_inlink_filter,
-        "sha256_documents": q_sha256_documents,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
         "search_events": q_search_events,
@@ -1090,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": q_props_key_stats,
         "outlier_events": q_outlier_events,
         "funnel_events": q_funnel_events,
+        "retention_cohorts": q_retention_cohorts,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1136,6 +1146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_filter_docs": q_query_filter_docs,
         # rotated out (driver-green r1-r4) for link_prediction_events
         "filtered_topk_events": q_filtered_topk_events,
+        # rotated out (driver-green r1-r4) for retention_cohorts
+        "sha256_documents": q_sha256_documents,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1458,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
+        RETENTION_SQL,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
@@ -1594,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         # funnel: exists-before reduces to min(a) < max(b) per user;
         # windowed, exact int counts
         "funnel_events": _funnel_sql(),
+        # retention: integral week keys hash identically
+        "retention_cohorts": RETENTION_SQL.format(
+            us=7 * 86_400_000_000),
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

@@ -981,3 +981,87 @@ FUNNEL_SQL = """
     WHERE a.event_type <> b.event_type AND a.mn < b.mx
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def retention_cohorts(sf_dir: str, period_days: int = 7):
+    """Cohort retention counts: users bucketed by their FIRST active
+    period (cohort), counted once per (cohort, period_offset) they
+    were active in — the product-analytics retention triangle. Period
+    key = floor(epoch_micros / period) — integral, so it hashes
+    identically in DuckDB. Returns (cohort_week, week_offset, n_users)
+    sorted, exact int64.
+
+    Scale shape: per-batch (user, period) dedupe bounds the shuffle;
+    ONE groupby(user) co-locates each user's periods, and the
+    map_groups handler is batch-vectorized (sort + run boundaries +
+    reduceat-style firsts — no per-row Python): cohort = min period,
+    one output row per distinct (user, period). The final count is a
+    tiny groupby over (cohort, offset)."""
+    us = np.int64(period_days) * np.int64(86_400_000_000)
+    i64 = pa.int64()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        uid = t.column("user_id").to_numpy()
+        pairs = np.unique(np.stack([uid, ts // us], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], i64),
+                         "week": pa.array(pairs[:, 1], i64)})
+
+    def cohort_rows(t: pa.Table) -> pa.Table:
+        """Whole user groups per call (map_groups co-location):
+        vectorized cohort/offset emission."""
+        if t.num_rows == 0:
+            return pa.table({"cohort_week": pa.array([], i64),
+                             "week_offset": pa.array([], i64),
+                             "n_users": pa.array([], i64)})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = t.column("week").to_numpy(zero_copy_only=False)
+        o = np.lexsort((wk, uid))
+        uid, wk = uid[o], wk[o]
+        # cross-batch duplicates: drop repeated (user, week) rows
+        keep = np.ones(len(uid), dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        uid, wk = uid[keep], wk[keep]
+        starts = np.flatnonzero(
+            np.r_[True, uid[1:] != uid[:-1]])
+        run_id = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        cohort = wk[starts][run_id]          # min week = first (sorted)
+        return pa.table({"cohort_week": pa.array(cohort, i64),
+                         "week_offset": pa.array(wk - cohort, i64),
+                         "n_users": pa.array(
+                             np.ones(len(wk), np.int64))})
+
+    out = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["ts", "user_id"])
+           .map_batches(pair_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("user_id").map_groups(cohort_rows,
+                                          batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"]).sum("n_users"))
+
+    t = out.to_pandas()
+    if t.empty:
+        return pa.table({"cohort_week": pa.array([], i64),
+                         "week_offset": pa.array([], i64),
+                         "n_users": pa.array([], i64)})
+    t = t.sort_values(["cohort_week", "week_offset"])
+    return pa.table({
+        "cohort_week": pa.array(t["cohort_week"].to_numpy(), i64),
+        "week_offset": pa.array(t["week_offset"].to_numpy(), i64),
+        "n_users": pa.array(
+            t["sum(n_users)"].to_numpy().astype(np.int64), i64)})
+
+
+RETENTION_SQL = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // {us} AS week
+                FROM events),
+         c AS (SELECT user_id, MIN(week) AS cohort FROM uw
+               GROUP BY user_id)
+    SELECT c.cohort AS cohort_week,
+           uw.week - c.cohort AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -329,3 +329,38 @@ def test_funnel_counts_empty_window():
                         date_from="1999-01-01", date_to="1999-01-02")
     assert got.num_rows == 0
     assert got.column_names == ["type_a", "type_b", "n_users"]
+
+
+def test_retention_cohorts_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (RETENTION_SQL,
+                                                   retention_cohorts)
+    sf = "/root/testdata/sf0.001"
+    got = retention_cohorts(sf, period_days=7).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(RETENTION_SQL.format(
+        us=7 * 86_400_000_000)).df()
+    for c in ("cohort_week", "week_offset", "n_users"):
+        assert got[c].tolist() == exp[c].astype("int64").tolist(), c
+    # triangle sanity: offset-0 row of each cohort counts the whole
+    # cohort, so it must be the cohort's max
+    for coh, grp in got.groupby("cohort_week"):
+        base = grp.loc[grp.week_offset == 0, "n_users"]
+        assert len(base) == 1 and (grp.n_users <= base.iloc[0]).all()
+
+
+def test_retention_cohorts_single_period():
+    """All events in one period -> exactly one (cohort, 0) row whose
+    count is the number of distinct users."""
+    from pagerank_ray.pipelines.relational import retention_cohorts
+    sf = "/root/testdata/sf0.001"
+    got = retention_cohorts(sf, period_days=10_000).to_pandas()
+    assert len(got) == 1 and got.week_offset[0] == 0
+    import pyarrow.parquet as _pq
+    nu = len(set(_pq.read_table(f"{sf}/events.parquet",
+                                columns=["user_id"])
+                 .column("user_id").to_pylist()))
+    assert got.n_users[0] == nu
