@@ -864,6 +864,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.relational import retention_cohorts
         return retention_cohorts(sf_dir, period_days=7)
 
+    def q_transition_counts(sf_dir):
+        """Per-user event-type transition counts — Markov-chain
+        sufficient statistics
+        (pipelines/events_graph.py:transition_counts): one
+        range-partitioned sort, vectorized per-block pair pass with
+        PRE-AGGREGATED partial counts, O(blocks) boundary stitch,
+        tiny groupby. Exact int64."""
+        _quiet()
+        from pagerank_ray.pipelines.events_graph import (
+            transition_counts)
+        return transition_counts(sf_dir)
+
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
     from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
@@ -1070,7 +1082,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_indegree": q_node_indegree,
         "distinct_nodes": q_distinct_nodes,
         "edge_weights": q_edge_weights,
-        "dangling_nodes": q_dangling_nodes,
         "inlink_filter": q_inlink_filter,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
@@ -1100,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": q_outlier_events,
         "funnel_events": q_funnel_events,
         "retention_cohorts": q_retention_cohorts,
+        "transition_counts": q_transition_counts,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1148,6 +1160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_topk_events": q_filtered_topk_events,
         # rotated out (driver-green r1-r4) for retention_cohorts
         "sha256_documents": q_sha256_documents,
+        # rotated out (driver-green r1-r4) for transition_counts
+        "dangling_nodes": q_dangling_nodes,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1468,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
                                                   REDACT_SQL,
                                                   TOP_TERMS_SQL,
                                                   stratified_sample_sql)
+    from pagerank_ray.pipelines.events_graph import TRANSITIONS_SQL
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
         RETENTION_SQL,
@@ -1610,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         # retention: integral week keys hash identically
         "retention_cohorts": RETENTION_SQL.format(
             us=7 * 86_400_000_000),
+        "transition_counts": TRANSITIONS_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

@@ -96,3 +96,99 @@ FROM (
 )
 WHERE next_user IS NOT NULL
 """
+
+
+@ray.remote
+def _block_transitions(block: pa.Table):
+    """Per-block (prev_type, next_type) partial counts + (first, last)
+    boundary rows — the _block_edges discipline with user/type roles
+    swapped (sorted by user, pairs within a user are type→type)."""
+    import pyarrow.compute as pc
+    u = block.column("user_id").to_numpy()
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if len(u) == 0:
+        return (empty, None, None, None, None)
+    et = block.column("event_type").combine_chunks()
+    same = u[1:] == u[:-1]
+    idx = pa.array(np.flatnonzero(same))
+    pairs = pa.table({
+        "prev_type": et.take(idx),
+        "next_type": et.take(pc.add(idx, pa.scalar(1, pa.int64())))})
+    g = pairs.group_by(["prev_type", "next_type"]).aggregate(
+        [("prev_type", "count")])
+    tbl = pa.table({"prev_type": g.column("prev_type"),
+                    "next_type": g.column("next_type"),
+                    "cnt": g.column("prev_type_count").cast(pa.int64())})
+    first_t = et[0].as_py()
+    last_t = et[len(et) - 1].as_py()
+    return (tbl, int(u[0]), first_t, int(u[-1]), last_t)
+
+
+def transition_counts(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition counts — the Markov-chain /
+    sequence-modeling sufficient statistics: within each user's
+    (ts, event_id)-ordered stream, count each consecutive
+    (prev_type → next_type) pair. Returns (prev_type, next_type, cnt)
+    sorted, exact int64; row count is at most |types|².
+
+    Scale shape: the edges_from_events distributed-lead discipline —
+    one range-partitioned SORT by (user_id, ts, event_id), a
+    vectorized per-block pair pass emitting PRE-AGGREGATED partial
+    counts (the shuffle carries ≤ types² rows per block), an O(blocks)
+    driver stitch of boundary pairs, one tiny groupby."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    block_refs = [ref for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+    results = [_block_transitions.options(num_returns=5).remote(b)
+               for b in block_refs]
+    cnt_refs = [r[0] for r in results]
+    bounds = ray.get([x for r in results for x in r[1:]])
+
+    prev_rows, next_rows = [], []
+    prev_user = prev_type = None
+    for i in range(0, len(bounds), 4):
+        fu, ft, lu, lt = bounds[i:i + 4]
+        if ft is None:
+            continue  # empty block: carry prev through
+        if prev_user is not None and prev_user == fu:
+            prev_rows.append(prev_type)
+            next_rows.append(ft)
+        prev_user, prev_type = lu, lt
+    boundary = rd.from_arrow(pa.table({
+        "prev_type": pa.array(prev_rows, pa.string()),
+        "next_type": pa.array(next_rows, pa.string()),
+        "cnt": pa.array(np.ones(len(prev_rows), np.int64))}))
+
+    agg = (rd.from_arrow_refs(cnt_refs).union(boundary)
+           .groupby(["prev_type", "next_type"]).sum("cnt"))
+    t = agg.to_pandas()
+    i64, s = pa.int64(), pa.string()
+    if t.empty:
+        return pa.table({"prev_type": pa.array([], s),
+                         "next_type": pa.array([], s),
+                         "cnt": pa.array([], i64)})
+    t = t.sort_values(["prev_type", "next_type"])
+    return pa.table({
+        "prev_type": pa.array(t["prev_type"], s),
+        "next_type": pa.array(t["next_type"], s),
+        "cnt": pa.array(t["sum(cnt)"].to_numpy().astype(np.int64),
+                        i64)})
+
+
+TRANSITIONS_SQL = """
+    SELECT prev_type, next_type, COUNT(*) AS cnt
+    FROM (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   AS next_type
+        FROM events)
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

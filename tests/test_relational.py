@@ -364,3 +364,26 @@ def test_retention_cohorts_single_period():
                                 columns=["user_id"])
                  .column("user_id").to_pylist()))
     assert got.n_users[0] == nu
+
+
+def test_transition_counts_matches_pandas_and_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.events_graph import (TRANSITIONS_SQL,
+                                                     transition_counts)
+    sf = "/root/testdata/sf0.001"
+    got = transition_counts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(TRANSITIONS_SQL).df()
+    for c in ("prev_type", "next_type"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert got["cnt"].tolist() == exp["cnt"].astype("int64").tolist()
+    # pandas brute force: per-user ordered pairs
+    import pandas as _pd
+    import pyarrow.parquet as _pq
+    ev = _pq.read_table(f"{sf}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts", "event_id"])
+    total = sum((ev.groupby("user_id").size() - 1).clip(lower=0))
+    assert got["cnt"].sum() == total
