@@ -876,6 +876,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transition_counts)
         return transition_counts(sf_dir)
 
+    def q_audience_overlap(sf_dir):
+        """Pairwise audience intersection/union between event types —
+        the integral Jaccard core
+        (pipelines/relational.py:audience_overlap): per-batch
+        (user, type) dedupe, one groupby(user) with vectorized
+        map_groups pair emission incl. (t, t) self rows, tiny final
+        groupby + driver arithmetic over |types|² rows."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import audience_overlap
+        return audience_overlap(sf_dir)
+
     # ---- warehouse shapes (TPC-H Q1/Q3 over lineitem/orders) ----
 
     from pagerank_ray.pipelines.warehouse import (bloom_pruned_order_lines,
@@ -1081,7 +1092,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_outdegree": q_node_outdegree,
         "node_indegree": q_node_indegree,
         "distinct_nodes": q_distinct_nodes,
-        "edge_weights": q_edge_weights,
         "inlink_filter": q_inlink_filter,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
@@ -1112,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "retention_cohorts": q_retention_cohorts,
         "transition_counts": q_transition_counts,
+        "audience_overlap": q_audience_overlap,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1162,6 +1173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sha256_documents": q_sha256_documents,
         # rotated out (driver-green r1-r4) for transition_counts
         "dangling_nodes": q_dangling_nodes,
+        # rotated out (driver-green r1-r4) for audience_overlap
+        "edge_weights": q_edge_weights,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1484,8 +1497,8 @@ def oracle_sql() -> dict[str, str]:
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.events_graph import TRANSITIONS_SQL
     from pagerank_ray.pipelines.relational import (
-        ASOF_JOIN_SQL, BROADCAST_JOIN_SQL, DISTINCT_USERS_SQL,
-        RETENTION_SQL,
+        ASOF_JOIN_SQL, AUDIENCE_OVERLAP_SQL, BROADCAST_JOIN_SQL,
+        DISTINCT_USERS_SQL, RETENTION_SQL,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
@@ -1626,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": RETENTION_SQL.format(
             us=7 * 86_400_000_000),
         "transition_counts": TRANSITIONS_SQL,
+        "audience_overlap": AUDIENCE_OVERLAP_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(
             segment="BUILDING", k=10),

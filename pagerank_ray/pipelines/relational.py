@@ -1065,3 +1065,102 @@ RETENTION_SQL = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def audience_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise audience overlap between event types: for every pair
+    of types with at least one shared user, the EXACT intersection and
+    union of their user sets — the integral core of audience Jaccard
+    (the one float |∩|/|∪| is the caller's). Returns
+    (type_a, type_b, n_common, n_union) with type_a < type_b, sorted.
+
+    Scale shape: per-batch (user, type) dedupe bounds the shuffle; ONE
+    groupby(user) co-locates each user's types and the map_groups
+    handler is batch-vectorized (sort + shifted-run pair emission, the
+    retention_cohorts discipline) — each user emits its ≤ |types|²
+    type pairs PLUS a (t, t) self row, so per-type set sizes ride the
+    same tiny groupby and n_union = |A| + |B| - |A∩B| is driver
+    arithmetic over O(|types|²) rows."""
+    i64, s = pa.int64(), pa.string()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        df = pd.DataFrame({"user_id": uid, "event_type": et})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def type_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], s),
+                          "type_b": pa.array([], s),
+                          "cnt": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(),
+                        dtype=object)
+        o = np.lexsort((et, uid))
+        uid, et = uid[o], et[o]
+        keep = np.ones(len(uid), dtype=bool)   # cross-batch dupes
+        keep[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        uid, et = uid[keep], et[keep]
+        ta = [et]                              # (t, t) self rows
+        tb = [et]
+        d = 1
+        while d < len(uid):
+            same = uid[d:] == uid[:-d]
+            if not same.any():
+                break
+            idx = np.flatnonzero(same)
+            ta.append(et[idx])                 # sorted within a run,
+            tb.append(et[idx + d])             # so type_a < type_b
+            d += 1
+        a = np.concatenate(ta)
+        b = np.concatenate(tb)
+        return pa.table({"type_a": pa.array(a, s),
+                         "type_b": pa.array(b, s),
+                         "cnt": pa.array(np.ones(len(a), np.int64))})
+
+    agg = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"])
+           .map_batches(pair_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("user_id").map_groups(type_pairs,
+                                          batch_format="pyarrow")
+           .groupby(["type_a", "type_b"]).sum("cnt"))
+    t = agg.to_pandas()
+    if t.empty:
+        return pa.table({"type_a": pa.array([], s),
+                         "type_b": pa.array([], s),
+                         "n_common": pa.array([], i64),
+                         "n_union": pa.array([], i64)})
+    selfrows = t[t.type_a == t.type_b]
+    sizes = dict(zip(selfrows["type_a"],
+                     selfrows["sum(cnt)"].astype(int)))
+    t = t[t.type_a != t.type_b].sort_values(["type_a", "type_b"])
+    common = t["sum(cnt)"].to_numpy().astype(np.int64)
+    union = np.array([sizes[a] + sizes[b] for a, b in
+                      zip(t["type_a"], t["type_b"])],
+                     np.int64) - common
+    return pa.table({
+        "type_a": pa.array(t["type_a"], s),
+        "type_b": pa.array(t["type_b"], s),
+        "n_common": pa.array(common, i64),
+        "n_union": pa.array(union, i64)})
+
+
+AUDIENCE_OVERLAP_SQL = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         c AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      COUNT(*) AS common
+               FROM ut a JOIN ut b
+                 ON b.user_id = a.user_id
+                AND b.event_type > a.event_type
+               GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.common AS n_common,
+           ca.n + cb.n - p.common AS n_union
+    FROM p JOIN c ca ON ca.event_type = p.type_a
+           JOIN c cb ON cb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+"""

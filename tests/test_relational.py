@@ -387,3 +387,29 @@ def test_transition_counts_matches_pandas_and_duckdb():
         ["user_id", "ts", "event_id"])
     total = sum((ev.groupby("user_id").size() - 1).clip(lower=0))
     assert got["cnt"].sum() == total
+
+
+def test_audience_overlap_matches_duckdb_and_brute():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (AUDIENCE_OVERLAP_SQL,
+                                                   audience_overlap)
+    sf = "/root/testdata/sf0.001"
+    got = audience_overlap(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(AUDIENCE_OVERLAP_SQL).df()
+    for c in got.columns:
+        assert got[c].tolist() == (exp[c].astype("int64").tolist()
+                                   if got[c].dtype.kind == "i"
+                                   else exp[c].tolist()), c
+    # python brute force on one pair
+    import pyarrow.parquet as _pq
+    ev = _pq.read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "event_type"]).to_pandas()
+    sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    r = got.iloc[0]
+    assert r.n_common == len(sets[r.type_a] & sets[r.type_b])
+    assert r.n_union == len(sets[r.type_a] | sets[r.type_b])
+    assert (got.n_common <= got.n_union).all()
