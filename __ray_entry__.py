@@ -600,6 +600,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return common_neighbor_candidates(edges, k=20,
                                           join_partitions=4)
 
+    def q_two_hop_events(sf_dir):
+        """Per-node 2-hop ball sizes on the SPARSIFIED events graph
+        (engine extension, graph/linkpred.py:two_hop_ball_sizes):
+        wedge pass emits (node, reach) both ways + direct + self
+        rows; one dedupe groupby + per-batch count partials. Exact
+        int64; sparsified with the mis_events rule (wedges are
+        inherently Σ deg²)."""
+        _quiet()
+        from pagerank_ray.graph.linkpred import two_hop_ball_sizes
+
+        def to_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            s = _pc.cast(t.column("src"), pa.int64())
+            d = _pc.cast(t.column("dst"), pa.int64())
+            sn = s.to_numpy(zero_copy_only=False)
+            dn = d.to_numpy(zero_copy_only=False)
+            return pa.table({"src": s, "dst": d}).filter(
+                pa.array((sn * 31 + dn) % 37 < 2))
+
+        edges = edges_from_events(sf_dir).map_batches(
+            to_int, batch_format="pyarrow", zero_copy_batch=True)
+        return two_hop_ball_sizes(edges, join_partitions=4)
+
     def q_feature_propagation_events(sf_dir):
         """GNN-style 2-hop feature propagation over the events graph
         (engine extension, graph/propagate.py): f = per-user event
@@ -1092,7 +1115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_outdegree": q_node_outdegree,
         "node_indegree": q_node_indegree,
         "distinct_nodes": q_distinct_nodes,
-        "inlink_filter": q_inlink_filter,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
         "search_events": q_search_events,
@@ -1111,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_events": q_random_walks_events,
         "mis_events": q_mis_events,
         "link_prediction_events": q_link_prediction_events,
+        "two_hop_events": q_two_hop_events,
         "feature_propagation_events": q_feature_propagation_events,
         "assortativity_events": q_assortativity_events,
         "reciprocity_events": q_reciprocity_events,
@@ -1175,6 +1198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_nodes": q_dangling_nodes,
         # rotated out (driver-green r1-r4) for audience_overlap
         "edge_weights": q_edge_weights,
+        # rotated out (driver-green r1-r4) for two_hop_events
+        "inlink_filter": q_inlink_filter,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1408,6 +1433,16 @@ def _linkpred_sql_events() -> str:
               f"WHERE (CAST(src AS BIGINT) * 31"
               f" + CAST(dst AS BIGINT)) % 37 < 2")
     return LINKPRED_SQL.format(edges=sparse, k=20)
+
+
+def _twohop_sql_events() -> str:
+    """2-hop ball-size oracle over the SPARSIFIED INT events edges
+    (the mis_events (src*31+dst) % 37 < 2 rule)."""
+    from pagerank_ray.graph.linkpred import TWO_HOP_SQL
+    sparse = (f"SELECT src, dst FROM ({_INT_EDGES}) "
+              f"WHERE (CAST(src AS BIGINT) * 31"
+              f" + CAST(dst AS BIGINT)) % 37 < 2")
+    return TWO_HOP_SQL.format(edges=sparse)
 
 
 def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
@@ -1914,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         # engine wrapper asserts its real round count <= 8
         "mis_events": _mis_sql_events(),
         "link_prediction_events": _linkpred_sql_events(),
+        "two_hop_events": _twohop_sql_events(),
 
         # 2-hop feature propagation: two unrolled join+groupby
         # rounds (y = A·f twice), exact ints

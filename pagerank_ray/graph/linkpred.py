@@ -207,3 +207,112 @@ LINKPRED_SQL = """
     ORDER BY n.cn DESC, n.u ASC, n.v ASC
     LIMIT {k}
 """
+
+
+def two_hop_ball_sizes(edges_ds, join_partitions: int | None = None
+                       ) -> pa.Table:
+    """Per-node 2-hop ball size over the simple undirected graph:
+    |{v : dist(u, v) <= 2}| including u itself — the friend-of-friend
+    reach statistic. Returns (node, ball2) sorted by node, exact
+    int64.
+
+    Scale shape: the common_neighbor_candidates wedge pass (Σ deg²
+    inherently — run on sparsified/capped graphs, the linkpred
+    contract discipline) emits (node, reach) rows for both wedge
+    orientations; direct neighbors and the self row ride the same
+    stream; one groupby dedupes (node, reach) and a per-batch count
+    partial + a tiny second groupby produce the sizes.
+    """
+    from ..stages.join import default_join_partitions
+
+    i64 = pa.int64()
+    nparts = join_partitions or default_join_partitions()
+    del nparts  # groupbys size themselves; kept for API symmetry
+
+    E = (edges_ds.map_batches(_canon_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+         .groupby(["u", "v"]).count()
+         .map_batches(lambda t: t.select(["u", "v"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .materialize())
+
+    adj = E.map_batches(
+        lambda t: pa.table({
+            "w": pa.concat_arrays([t.column("u").combine_chunks(),
+                                   t.column("v").combine_chunks()]),
+            "nbr": pa.concat_arrays([t.column("v").combine_chunks(),
+                                     t.column("u").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_reach(t: pa.Table) -> pa.Table:
+        """Wedge pairs through the group's centers, both orientations,
+        PLUS the direct (w→nbr) and self (w→w) rows."""
+        empty = pa.table({"node": pa.array([], i64),
+                          "reach": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        nb = t.column("nbr").to_numpy(zero_copy_only=False)
+        o = np.lexsort((nb, w))
+        w, nb = w[o], nb[o]
+        nodes = [nb, w, w]            # direct (both dirs arrive via
+        reach = [w, nb, w]            # adj) + self rows
+        d = 1
+        while d < len(w):
+            same = w[d:] == w[:-d]
+            if not same.any():
+                break
+            idx = np.flatnonzero(same)
+            nodes.append(nb[idx])
+            reach.append(nb[idx + d])
+            nodes.append(nb[idx + d])
+            reach.append(nb[idx])
+            d += 1
+        n = np.concatenate(nodes)
+        r = np.concatenate(reach)
+        pairs = np.unique(np.stack([n, r], axis=1), axis=0)
+        return pa.table({"node": pa.array(pairs[:, 0], i64),
+                         "reach": pa.array(pairs[:, 1], i64)})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], i64),
+                             "cnt": pa.array([], i64)})
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        uniq, cnts = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uniq, i64),
+                         "cnt": pa.array(cnts.astype(np.int64), i64)})
+
+    agg = (adj.groupby("w").map_groups(emit_reach,
+                                       batch_format="pyarrow")
+           .groupby(["node", "reach"]).count()
+           .map_batches(count_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("node").sum("cnt"))
+    t = agg.to_pandas()
+    if t.empty:
+        return pa.table({"node": pa.array([], i64),
+                         "ball2": pa.array([], i64)})
+    t = t.sort_values("node")
+    return pa.table({
+        "node": pa.array(t["node"].to_numpy(), i64),
+        "ball2": pa.array(t["sum(cnt)"].to_numpy().astype(np.int64),
+                          i64)})
+
+
+TWO_HOP_SQL = """
+    WITH e0 AS ({edges}),
+         e AS (SELECT DISTINCT least(src, dst) AS u,
+                      greatest(src, dst) AS v
+               FROM e0 WHERE src <> dst),
+         adj AS (SELECT u AS w, v AS nbr FROM e
+                 UNION ALL SELECT v, u FROM e),
+         reach AS (SELECT w AS node, nbr AS r FROM adj
+                   UNION
+                   SELECT a.nbr, b.nbr FROM adj a JOIN adj b
+                     ON b.w = a.w AND b.nbr <> a.nbr
+                   UNION
+                   SELECT w, w FROM adj)
+    SELECT node, COUNT(*) AS ball2
+    FROM reach GROUP BY node ORDER BY node
+"""

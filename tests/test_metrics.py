@@ -141,3 +141,34 @@ def test_link_prediction_hand_checked_and_edge_cases():
     # simple graph: 0-1, 1-2, 1-3; pairs via center 1
     assert [(r["u"], r["v"], r["cn"]) for r in got] == \
         [(0, 2, 1), (0, 3, 1), (2, 3, 1)]
+
+
+def test_two_hop_ball_sizes_matches_brute():
+    from pagerank_ray.graph.linkpred import two_hop_ball_sizes
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 35, 90)
+    dst = rng.integers(0, 35, 90)
+    got = two_hop_ball_sizes(_edges(src, dst).repartition(4),
+                             join_partitions=4).to_pylist()
+    E = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for u in adj:
+        ball = {u} | adj[u]
+        for w in adj[u]:
+            ball |= adj[w]
+        want[u] = len(ball)
+    assert {r["node"]: r["ball2"] for r in got} == want
+    assert [r["node"] for r in got] == sorted(want)  # sorted output
+
+
+def test_two_hop_ball_path_graph():
+    from pagerank_ray.graph.linkpred import two_hop_ball_sizes
+    # path 0-1-2-3-4: balls are {0,1,2}=3, {0..3}=4, {0..4}=5, ...
+    got = two_hop_ball_sizes(_edges([0, 1, 2, 3], [1, 2, 3, 4]),
+                             join_partitions=2).to_pylist()
+    assert [(r["node"], r["ball2"]) for r in got] == \
+        [(0, 3), (1, 4), (2, 5), (3, 4), (4, 3)]
