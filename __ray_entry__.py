@@ -1042,6 +1042,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             columns=["doc_id", "text"]),
             window=4, k=20)
 
+    def q_heavy_hitter_terms(sf_dir):
+        """EXACT top-12 terms at sketch-scale shuffle cost
+        (pipelines/textstats.py:heavy_hitter_terms): per-batch
+        truncated summaries (Misra-Gries bound) -> broadcast
+        candidate recount -> certified exact top-k (asserts the k-th
+        count clears N/(width+1))."""
+        _quiet()
+        from pagerank_ray.pipelines.textstats import heavy_hitter_terms
+        return heavy_hitter_terms(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), k=12)
+
     def q_stratified_sample_docs(sf_dir):
         """Deterministic per-language sha256 sampling (en 20%,
         de 80%, others 50%)."""
@@ -1112,7 +1124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tail. Total is now 62.
     return {
         "edges_from_events": q_edges_from_events,
-        "node_outdegree": q_node_outdegree,
         "node_indegree": q_node_indegree,
         "distinct_nodes": q_distinct_nodes,
         "pagerank_events": q_pagerank_events,
@@ -1161,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_collocations": q_bigram_collocations,
         "cooccurrence_terms": q_cooccurrence_terms,
+        "heavy_hitter_terms": q_heavy_hitter_terms,
         "stratified_sample_docs": q_stratified_sample_docs,
         "redact_documents": q_redact_documents,
         "curate_documents": q_curate_documents,
@@ -1200,6 +1212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights": q_edge_weights,
         # rotated out (driver-green r1-r4) for two_hop_events
         "inlink_filter": q_inlink_filter,
+        # rotated out (driver-green r1-r4) for heavy_hitter_terms
+        "node_outdegree": q_node_outdegree,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1613,6 +1627,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_collocations": BIGRAM_SQL.format(k=20),
         "cooccurrence_terms": COOCCURRENCE_SQL.format(
             window=4, k=20),
+        # heavy hitters: certified-exact, so the plain
+        # frequency top-k IS the oracle
+        "heavy_hitter_terms": TOP_TERMS_SQL.format(k=12),
         "stratified_sample_docs": stratified_sample_sql(
             {"en": 20, "de": 80}, 50),
         "redact_documents": REDACT_SQL,

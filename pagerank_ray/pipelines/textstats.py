@@ -538,3 +538,98 @@ COOCCURRENCE_SQL = r"""
     ORDER BY cnt DESC, w1 ASC, w2 ASC
     LIMIT {k}
 """
+
+
+def heavy_hitter_terms(docs, k: int = 12, width: int | None = None):
+    """EXACT top-``k`` most frequent tokens computed WITHOUT a
+    vocabulary-scale shuffle — the two-pass heavy-hitter pattern:
+
+    Pass 1 (candidates): each batch keeps only its ``width`` locally
+    most frequent terms (a truncated summary with the Misra-Gries
+    guarantee: an item dropped by a batch loses at most
+    N_batch/(width+1) count there, so total underestimate
+    <= N/(width+1)); the candidate union is blocks x width rows —
+    sketch-scale, not vocabulary-scale. Pass 2 (exact recount): the
+    candidate set broadcasts via ray.put and one filtered
+    value_counts pass + a candidate-sized groupby recovers EXACT
+    counts; the same pass counts N for free.
+
+    The result is provably the true top-k iff the k-th exact count
+    exceeds N/(width+1) — asserted, so a too-narrow width fails
+    loudly instead of silently returning near-misses. Returns
+    (term, cnt) ordered by (cnt DESC, term ASC); identical to
+    ``top_terms`` output (equality-tested), at sketch-sized shuffle
+    cost. ``width`` defaults to 8k."""
+    import ray as _ray
+
+    i64, s = pa.int64(), pa.string()
+    w = width or 8 * k
+
+    def candidates(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = pc.value_counts(toks)
+        terms = vc.field("values")
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(cnt) > w:
+            keep = np.argpartition(-cnt, w - 1)[:w]
+            terms = terms.take(pa.array(np.sort(keep)))
+        return pa.table({"term": terms})
+
+    cand = (docs.map_batches(candidates, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("term").count())
+    cand_terms = cand.to_pandas()["term"] if cand.count() else []
+    cref = _ray.put(pa.array(list(cand_terms), s))
+
+    def recount(t: pa.Table, *, cref) -> pa.Table:
+        cs = _ray.get(cref) if isinstance(cref, _ray.ObjectRef) else cref
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t.column("text"), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        n_total = len(toks)
+        toks = toks.filter(pc.is_valid(pc.index_in(toks,
+                                                   value_set=cs)))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "term": pa.concat_arrays(
+                [vc.field("values").combine_chunks()
+                 if isinstance(vc.field("values"), pa.ChunkedArray)
+                 else vc.field("values"),
+                 pa.array([""], s)]),
+            "cnt": pa.concat_arrays(
+                [pc.cast(vc.field("counts"), i64).combine_chunks()
+                 if isinstance(vc.field("counts"), pa.ChunkedArray)
+                 else pc.cast(vc.field("counts"), i64),
+                 pa.array([0], i64)]),
+            "n_tok": pa.concat_arrays(
+                [pa.array(np.zeros(len(vc), np.int64)),
+                 pa.array([n_total], i64)])})
+
+    agg = (docs.map_batches(recount, fn_kwargs={"cref": cref},
+                            batch_format="pyarrow")
+           .groupby("term").sum(["cnt", "n_tok"]))
+    t = agg.to_pandas()
+    n_tokens = int(t["sum(n_tok)"].sum())
+    t = t[t["term"] != ""]
+    order = np.lexsort((t["term"].to_numpy(dtype=object),
+                        -t["sum(cnt)"].to_numpy()))[:k]
+    t = t.iloc[np.asarray(order)]
+    # Certification: every never-candidate term has true count
+    # <= N/(w+1). With >= k rows the k-th exact count must clear that
+    # bound; with FEWER than k rows a dropped term could still belong
+    # in the top-k unless nothing can have been dropped (N/(w+1) < 1,
+    # i.e. candidates = full vocabulary).
+    kth = int(t["sum(cnt)"].iloc[-1]) if len(t) >= k else 0
+    uncertified = (kth * (w + 1) <= n_tokens if len(t) >= k
+                   else n_tokens >= w + 1)
+    if uncertified:
+        raise RuntimeError(
+            f"heavy_hitter_terms width={w} cannot certify the top-{k}:"
+            f" kth count {kth} (rows={len(t)}) <= N/(width+1) ="
+            f" {n_tokens/(w+1):.1f}; pass a larger width")
+    return pa.table({
+        "term": pa.array(t["term"].to_numpy(dtype=object), s),
+        "cnt": pa.array(t["sum(cnt)"].to_numpy().astype(np.int64),
+                        i64)})

@@ -165,3 +165,30 @@ def test_cooccurrence_window1_equals_unordered_bigrams():
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [((r.w1, r.w2), r.cnt)
             for r in got.itertuples()] == want
+
+
+def test_heavy_hitter_terms_equals_top_terms():
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import (heavy_hitter_terms,
+                                                  top_terms)
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = heavy_hitter_terms(docs, k=12).to_pandas()
+    want = top_terms(docs, k=12).to_pandas()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].astype("int64").tolist()
+
+
+def test_heavy_hitter_width_too_narrow_raises():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.textstats import heavy_hitter_terms
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    # width=1 cannot certify a top-12 over a long-tailed vocabulary
+    with _pytest.raises(RuntimeError, match="cannot certify"):
+        heavy_hitter_terms(docs, k=12, width=1)
