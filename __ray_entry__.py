@@ -990,6 +990,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import large_volume_orders
         return large_volume_orders(sf_dir, min_qty=250)
 
+    def q_customer_order_distribution(sf_dir):
+        """TPC-H Q13 shape
+        (pipelines/warehouse.py:customer_order_distribution):
+        per-customer qualifying-order counts via ONE combiner +
+        groupby, orphan keys removed by a keys-only hash join, the
+        zero bucket by COUNT ARITHMETIC (|customer| - |active|, no
+        anti-join), histogram via value_counts partials. Exact
+        integers."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import (
+            customer_order_distribution)
+        return customer_order_distribution(sf_dir)
+
+    def q_late_line_priority_counts(sf_dir):
+        """TPC-H Q12 shape
+        (pipelines/warehouse.py:late_line_priority_counts): ship-window
+        filter FIRST, lineitem keys Bloom-prune the orders scan, one
+        partitioned hash join, conditional high/low partials reduce to
+        O(flags) rows per block. Exact integer counts."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import (
+            late_line_priority_counts)
+        return late_line_priority_counts(sf_dir)
+
+    def q_degree_distribution_events(sf_dir):
+        """Out-degree histogram incl. the 0-bucket
+        (graph/metrics.py:degree_distribution): grouped_count
+        combiner per side, value_counts partials for the histogram,
+        0-bucket by count arithmetic — never an anti-join."""
+        _quiet()
+        from pagerank_ray.graph.metrics import degree_distribution
+        return degree_distribution(edges_from_events(sf_dir),
+                                   direction="out")
+
     # ---- corpus text statistics ----
 
     from pagerank_ray.pipelines.textstats import (redact_documents,
@@ -1125,17 +1159,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "edges_from_events": q_edges_from_events,
         "node_indegree": q_node_indegree,
-        "distinct_nodes": q_distinct_nodes,
+        # rotated in for distinct_nodes (driver-green r1-r4)
+        "degree_distribution_events": q_degree_distribution_events,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
         "search_events": q_search_events,
-        "connected_components_events": q_connected_components_events,
+        # rotated in for connected_components_events (green r1-r4)
+        "customer_order_distribution": q_customer_order_distribution,
         "bfs_events": q_bfs_events,
         "closeness_events": q_closeness_events,
         "kcore_events": q_kcore_events,
         "scc_events": q_scc_events,
         "label_propagation_events": q_label_propagation_events,
-        "triangles_events": q_triangles_events,
+        # rotated in for triangles_events (driver-green r1-r4)
+        "late_line_priority_counts": q_late_line_priority_counts,
         "clustering_events": q_clustering_events,
         "hits_events": q_hits_events,
         "edge_support_events": q_edge_support_events,
@@ -1214,6 +1251,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inlink_filter": q_inlink_filter,
         # rotated out (driver-green r1-r4) for heavy_hitter_terms
         "node_outdegree": q_node_outdegree,
+        # rotated out (driver-green r1-r4) for degree_distribution_events
+        "distinct_nodes": q_distinct_nodes,
+        # rotated out (driver-green r1-r4) for customer_order_distribution
+        "connected_components_events": q_connected_components_events,
+        # rotated out (driver-green r1-r4) for late_line_priority_counts
+        "triangles_events": q_triangles_events,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1553,7 +1596,9 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
         WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
+                                                  CUSTOMER_ORDER_DIST_SQL,
                                                   LARGE_VOLUME_SQL,
+                                                  LATE_LINE_PRIORITY_SQL,
                                                   ORDER_PRIORITY_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
@@ -1704,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
             late_days=30),
         # Q18 shape: integral quantities sum exactly as BIGINT
         "large_volume_orders": LARGE_VOLUME_SQL.format(min_qty=250),
+        # Q13 shape: left join realizes the engine's count-arithmetic
+        # zero bucket; exact int histogram
+        "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,
+        # Q12 shape: conditional counts over the ship-window join
+        "late_line_priority_counts": LATE_LINE_PRIORITY_SQL.format(
+            date_from="1997-01-01", date_to="1997-07-01",
+            late_days=90),
         "revenue_by_nation": REVENUE_BY_NATION_SQL.format(
             region="ASIA", date_from="1996-01-01",
             date_to="1998-01-01"),
@@ -1738,6 +1790,18 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "distinct_nodes": _NODES,
+
+        # out-degree histogram incl. the 0-bucket (nodes that appear
+        # only as dst); left join realizes the zero bucket the engine
+        # computes by count arithmetic
+        "degree_distribution_events": f"""
+            WITH deg AS (SELECT src AS node, COUNT(*) AS d
+                         FROM ({_EDGES}) GROUP BY src)
+            SELECT COALESCE(deg.d, 0) AS degree,
+                   COUNT(*) AS node_count
+            FROM ({_NODES}) n LEFT JOIN deg USING (node)
+            GROUP BY 1 ORDER BY 1
+        """,
 
         "edge_weights": f"""
             SELECT src, dst, COUNT(*) AS cnt,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -276,3 +277,57 @@ RECIPROCITY_SQL = """
            CAST((SELECT COUNT(*) FROM canon WHERE s = 3) AS BIGINT)
                AS n_reciprocal_pairs
 """
+
+
+def degree_distribution(edges_ds, direction: str = "out") -> pa.Table:
+    """Degree histogram of the directed multigraph: for each degree
+    value, the number of nodes with exactly that out-degree (or
+    in-degree with ``direction="in"``) — INCLUDING the degree-0
+    bucket for nodes that appear only on the other side of an edge
+    (the power-law sanity check every web-graph build runs first).
+    Exact int64. Returns (degree, node_count) ordered by degree ASC.
+
+    Scale shape: ONE vocabulary-scale combiner count per side (the
+    ``grouped_count`` discipline — the shuffle carries one row per
+    key per batch, never the edge rows); the histogram is a per-batch
+    ``value_counts`` partial over the degree column + an O(distinct
+    degrees) groupby; the 0-bucket is COUNT ARITHMETIC — |src ∪ dst|
+    (the distinct-nodes Dataset count) minus |keys with degree > 0| —
+    never an anti-join. The driver holds only the histogram.
+    """
+    from ..stages.aggregate import grouped_count
+    from ..stages.encode import distinct_nodes_dataset
+
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', "
+                         f"got {direction!r}")
+    key = "src" if direction == "out" else "dst"
+    E = edges_ds.materialize()
+    deg = grouped_count(E, key, alias="d").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"degree": pa.array([], _I64),
+                             "node_count": pa.array([], _I64)})
+        vc = pc.value_counts(
+            pc.cast(t.column("d"), _I64).combine_chunks())
+        return pa.table({
+            "degree": vc.field("values"),
+            "node_count": pc.cast(vc.field("counts"), _I64)})
+
+    agg = (deg.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("degree").sum("node_count"))
+    t = agg.to_pandas()
+    n_nodes = distinct_nodes_dataset(E).count()
+    degrees = (t["degree"].to_numpy().astype(np.int64)
+               if not t.empty else np.array([], np.int64))
+    counts = (t["sum(node_count)"].to_numpy().astype(np.int64)
+              if not t.empty else np.array([], np.int64))
+    zero = n_nodes - int(counts.sum())
+    if zero > 0:
+        degrees = np.concatenate([[np.int64(0)], degrees])
+        counts = np.concatenate([[np.int64(zero)], counts])
+    order = np.argsort(degrees, kind="stable")
+    return pa.table({"degree": pa.array(degrees[order], _I64),
+                     "node_count": pa.array(counts[order], _I64)})

@@ -927,3 +927,226 @@ LARGE_VOLUME_SQL = """
     HAVING SUM(l.l_quantity) > {min_qty}
     ORDER BY total_qty DESC, o.o_orderkey ASC
 """
+
+
+def customer_order_distribution(sf_dir: str,
+                                exclude_prefixes: tuple[str, ...] =
+                                ("1", "2")) -> pa.Table:
+    """TPC-H Q13 shape: the histogram of customers by how many
+    qualifying orders they placed — INCLUDING the zero bucket for
+    customers with no qualifying order (the sandbox orders table has
+    no comment column, so "priority not in the excluded classes"
+    stands in for Q13's comment NOT LIKE filter). Exact integers.
+    Returns (c_count, custdist) ordered by (custdist DESC,
+    c_count DESC).
+
+    Scale shape: the orders scan filters + combines per batch
+    (custkey -> count partials), ONE vocabulary-scale groupby yields
+    per-customer counts; orphan custkeys are removed by an exact
+    keys-only hash join against the customer key column (the only
+    part of the dimension that ever shuffles); the ZERO bucket is
+    COUNT ARITHMETIC — |customer| minus |customers with >= 1
+    qualifying order| — never an anti-join; the final histogram is a
+    per-batch value_counts partial + an O(distinct counts) groupby.
+    The driver holds only the histogram.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64 = pa.int64()
+    ex = tuple(exclude_prefixes)
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        prio = t.column("o_orderpriority")
+        keep = None
+        for p in ex:
+            m = pc.starts_with(prio, p)
+            keep = m if keep is None else pc.or_(keep, m)
+        kept = t.filter(pc.invert(keep)) if keep is not None else t
+        if kept.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], i64),
+                             "c_count": pa.array([], i64)})
+        vc = pc.value_counts(kept.column("o_custkey").combine_chunks())
+        return pa.table({"o_custkey": vc.field("values"),
+                         "c_count": pc.cast(vc.field("counts"), i64)})
+
+    percust = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderpriority"])
+               .map_batches(o_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("o_custkey").sum("c_count"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    n_customers = cust.count()
+
+    joined = hash_join(
+        percust.repartition(default_join_partitions()), cust,
+        on=("o_custkey",), right_on=("c_custkey",),
+        left_schema=[("o_custkey", i64), ("sum(c_count)", i64)],
+        right_schema=[("c_custkey", i64)])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_count": pa.array([], i64),
+                             "custdist": pa.array([], i64)})
+        vc = pc.value_counts(
+            pc.cast(t.column("sum(c_count)"), i64).combine_chunks())
+        return pa.table({"c_count": vc.field("values"),
+                         "custdist": pc.cast(vc.field("counts"), i64)})
+
+    agg = (joined.map_batches(hist_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("c_count").sum("custdist"))
+    t = agg.to_pandas()
+    active = (int(t["sum(custdist)"].sum()) if not t.empty else 0)
+    counts = (t["c_count"].to_numpy().astype(np.int64)
+              if not t.empty else np.array([], np.int64))
+    dist = (t["sum(custdist)"].to_numpy().astype(np.int64)
+            if not t.empty else np.array([], np.int64))
+    zero = n_customers - active
+    if zero > 0:
+        counts = np.concatenate([counts, [np.int64(0)]])
+        dist = np.concatenate([dist, [np.int64(zero)]])
+    order = np.lexsort((-counts, -dist))
+    return pa.table({"c_count": pa.array(counts[order], i64),
+                     "custdist": pa.array(dist[order], i64)})
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority NOT LIKE '1%'
+           AND o.o_orderpriority NOT LIKE '2%'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q12_FROM, _Q12_TO, _Q12_LATE_DAYS = "1997-01-01", "1997-07-01", 90
+
+
+def late_line_priority_counts(sf_dir: str, date_from: str = _Q12_FROM,
+                              date_to: str = _Q12_TO,
+                              late_days: int = _Q12_LATE_DAYS
+                              ) -> pa.Table:
+    """TPC-H Q12 shape: per l_returnflag, how many lineitems shipped
+    in [date_from, date_to) AND more than ``late_days`` days after
+    their order date split by order urgency — high = priority
+    '1-URGENT'/'2-HIGH', low = the rest (shipdate-vs-orderdate
+    lateness stands in for Q12's commit/receipt columns, the
+    order_priority_counts discipline). Exact integers. Returns
+    (l_returnflag, high_line_count, low_line_count) ordered by
+    l_returnflag.
+
+    Scale shape: the lineitem scan filters to the ship window FIRST
+    (a small fraction of lines); its distinct order keys build a
+    mergeable Bloom filter that prunes the ORDERS scan before the
+    join (the date window makes the qualifying order set small, so
+    the big dimension never shuffles in full); one partitioned hash
+    join attaches (orderdate, urgency) per line; per-batch
+    conditional partials reduce to O(flags) rows per block and one
+    tiny groupby.
+    """
+    from ..stages.bloom import bloom_prune, build_bloom
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    i64, s = pa.int64(), pa.string()
+
+    def li_side(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(i64)
+        keep = pc.and_(pc.greater_equal(ship, pa.scalar(int(lo), i64)),
+                       pc.less(ship, pa.scalar(int(hi), i64)))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_returnflag": t.column("l_returnflag"),
+                         "ship_us": ship}).filter(keep)
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_returnflag",
+                                   "l_shipdate"])
+          .map_batches(li_side, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize())
+
+    bloom = build_bloom(li.select_columns(["l_orderkey"]),
+                        "l_orderkey", n_expected=max(1, li.count()))
+    orders = bloom_prune(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+        bloom, "o_orderkey").map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "od_us": t.column("o_orderdate").cast(i64),
+            "is_high": pc.cast(pc.or_(
+                pc.starts_with(t.column("o_orderpriority"), "1"),
+                pc.starts_with(t.column("o_orderpriority"), "2")),
+                i64)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(
+        li.repartition(default_join_partitions()), orders,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        left_schema=[("l_orderkey", i64), ("l_returnflag", s),
+                     ("ship_us", i64)],
+        right_schema=[("o_orderkey", i64), ("od_us", i64),
+                      ("is_high", i64)])
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], s),
+                             "high_line_count": pa.array([], i64),
+                             "low_line_count": pa.array([], i64)})
+        late = (t.column("ship_us").to_numpy(zero_copy_only=False)
+                > t.column("od_us").to_numpy(zero_copy_only=False)
+                + late_us)
+        hi_m = t.column("is_high").to_numpy(
+            zero_copy_only=False).astype(bool)
+        flag = np.asarray(t.column("l_returnflag").to_pylist(),
+                          dtype=object)
+        df = (pd.DataFrame({"l_returnflag": flag[late],
+                            "high_line_count":
+                                hi_m[late].astype(np.int64),
+                            "low_line_count":
+                                (~hi_m[late]).astype(np.int64)})
+              .groupby("l_returnflag", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (joined.map_batches(flag_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .sum(["high_line_count", "low_line_count"]))
+    t = agg.to_pandas()
+    if t.empty:
+        return pa.table({"l_returnflag": pa.array([], s),
+                         "high_line_count": pa.array([], i64),
+                         "low_line_count": pa.array([], i64)})
+    t = t.sort_values("l_returnflag")
+    return pa.table({
+        "l_returnflag": pa.array(t["l_returnflag"], s),
+        "high_line_count": pa.array(
+            t["sum(high_line_count)"].to_numpy().astype(np.int64),
+            i64),
+        "low_line_count": pa.array(
+            t["sum(low_line_count)"].to_numpy().astype(np.int64),
+            i64)})
+
+
+LATE_LINE_PRIORITY_SQL = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1%'
+                           OR o.o_orderpriority LIKE '2%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1%'
+                           OR o.o_orderpriority LIKE '2%'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+      AND l.l_shipdate < TIMESTAMP '{date_to}'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""

@@ -172,3 +172,54 @@ def test_two_hop_ball_path_graph():
                              join_partitions=2).to_pylist()
     assert [(r["node"], r["ball2"]) for r in got] == \
         [(0, 3), (1, 4), (2, 5), (3, 4), (4, 3)]
+
+
+def test_degree_distribution_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.graph.metrics import degree_distribution
+    from pagerank_ray.pipelines.events_graph import edges_from_events
+    sf = "/root/testdata/sf0.001"
+    for direction, key in (("out", "src"), ("in", "dst")):
+        got = degree_distribution(edges_from_events(sf),
+                                  direction=direction).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        exp = con.execute(f"""
+            WITH e AS (SELECT user_id AS src, next_user AS dst FROM
+                 (SELECT user_id, lead(user_id) OVER
+                    (PARTITION BY event_type ORDER BY ts, event_id)
+                    AS next_user FROM events)
+                 WHERE next_user IS NOT NULL),
+            n AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+            deg AS (SELECT {key} AS node, COUNT(*) AS d
+                    FROM e GROUP BY 1)
+            SELECT COALESCE(deg.d, 0) AS degree,
+                   COUNT(*) AS node_count
+            FROM n LEFT JOIN deg USING (node)
+            GROUP BY 1 ORDER BY 1""").df()
+        assert got["degree"].tolist() == exp["degree"].tolist()
+        assert got["node_count"].tolist() == exp["node_count"].tolist()
+
+
+def test_degree_distribution_hand_checked():
+    import ray.data as rd
+
+    from pagerank_ray.graph.metrics import degree_distribution
+    # 1->2, 1->2 (dup counts), 2->3; node 3 is dst-only (degree 0)
+    E = rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 2], pa.int64()),
+        "dst": pa.array([2, 2, 3], pa.int64())}))
+    got = degree_distribution(E, direction="out").to_pandas()
+    assert dict(zip(got["degree"], got["node_count"])) == \
+        {0: 1, 1: 1, 2: 1}
+    assert got["degree"].tolist() == [0, 1, 2]
+    empty = degree_distribution(rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64())}))).to_pandas()
+    assert len(empty) == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        degree_distribution(E, direction="sideways")

@@ -189,3 +189,74 @@ def test_large_volume_orders_impossible_threshold():
     from pagerank_ray.pipelines.warehouse import large_volume_orders
     got = large_volume_orders(SF, min_qty=10**9).to_pandas()
     assert len(got) == 0
+
+
+def test_customer_order_distribution_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (
+        CUSTOMER_ORDER_DIST_SQL, customer_order_distribution)
+    got = customer_order_distribution(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(CUSTOMER_ORDER_DIST_SQL).df()
+    assert got["c_count"].tolist() == exp["c_count"].tolist()
+    assert got["custdist"].tolist() == exp["custdist"].tolist()
+    # every customer lands in exactly one bucket
+    n_cust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+
+
+def test_customer_order_distribution_zero_bucket(tmp_path):
+    """Customers with no qualifying order land in the 0 bucket via
+    count arithmetic (no anti-join) — synthesized so the bucket is
+    guaranteed non-empty; orphan orders (custkey not in customer)
+    must NOT count."""
+    import pyarrow as pa
+
+    from pagerank_ray.pipelines.warehouse import (
+        customer_order_distribution)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2, 99], pa.int64()),
+        "o_orderpriority": ["3-MEDIUM", "1-URGENT", "3-MEDIUM",
+                            "5-LOW", "3-MEDIUM"]}),
+        tmp_path / "orders.parquet")
+    got = customer_order_distribution(str(tmp_path)).to_pandas()
+    # cust 1 -> 1 qualifying (urgent excluded), cust 2 -> 2,
+    # cust 3, 4 -> 0; orphan 99 ignored
+    want = {0: 2, 1: 1, 2: 1}
+    assert dict(zip(got["c_count"], got["custdist"])) == want
+    # (custdist DESC, c_count DESC) order
+    assert got["c_count"].tolist() == [0, 2, 1]
+
+
+def test_late_line_priority_counts_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.warehouse import (
+        LATE_LINE_PRIORITY_SQL, late_line_priority_counts)
+    got = late_line_priority_counts(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(LATE_LINE_PRIORITY_SQL.format(
+        date_from="1997-01-01", date_to="1997-07-01",
+        late_days=90)).df()
+    for c in ("l_returnflag", "high_line_count", "low_line_count"):
+        assert got[c].tolist() == exp[c].tolist()
+    assert (got["high_line_count"] + got["low_line_count"]).sum() > 0
+
+
+def test_late_line_priority_counts_empty_window():
+    from pagerank_ray.pipelines.warehouse import (
+        late_line_priority_counts)
+    got = late_line_priority_counts(SF, date_from="1970-01-01",
+                                    date_to="1970-02-01").to_pandas()
+    assert len(got) == 0
