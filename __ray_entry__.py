@@ -990,6 +990,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import large_volume_orders
         return large_volume_orders(sf_dir, min_qty=250)
 
+    def q_nation_pair_volume(sf_dir):
+        """TPC-H Q7 shape (pipelines/warehouse.py:nation_pair_volume):
+        shipping volume between a nation pair by direction and ship
+        year — pair-filtered customer side before the orders join, two
+        partitioned hash joins, broadcast supplier nation lookup,
+        per-batch partial revenue aggregation."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import nation_pair_volume
+        return nation_pair_volume(sf_dir)
+
+    def q_disjunctive_revenue(sf_dir):
+        """TPC-H Q19 shape (pipelines/warehouse.py:
+        disjunctive_revenue): OR-of-(brand, size, quantity) clause
+        revenue — the disjunction splits across the join into a
+        broadcast (partkey -> clause) map + one vectorized range test
+        per lineitem batch; the shuffle carries one scalar per
+        block."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import disjunctive_revenue
+        return disjunctive_revenue(sf_dir)
+
+    def q_supplier_part_counts(sf_dir):
+        """TPC-H Q16 shape (pipelines/warehouse.py:
+        supplier_part_counts): distinct suppliers per part
+        (brand, type, size) group with a supplier deny list —
+        per-batch-deduped pairs bound the distinct shuffle; exact
+        integers."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import supplier_part_counts
+        return supplier_part_counts(sf_dir)
+
+    def q_idle_rich_customers(sf_dir):
+        """TPC-H Q22 shape (pipelines/warehouse.py:
+        idle_rich_customers): above-average-balance customers with no
+        recent order, per nation — scalar-reduction threshold
+        broadcast + the tag-union-groupby distributed anti-join (the
+        dangling_nodes discipline); no driver-side key set."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import idle_rich_customers
+        return idle_rich_customers(sf_dir)
+
     def q_customer_order_distribution(sf_dir):
         """TPC-H Q13 shape
         (pipelines/warehouse.py:customer_order_distribution):
@@ -1157,9 +1198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-green in rounds 2, 3 and 4 — just past index 49 into the
     # tail. Total is now 62.
     return {
-        "edges_from_events": q_edges_from_events,
-        "node_indegree": q_node_indegree,
-        # rotated in for distinct_nodes (driver-green r1-r4)
+        # rotated in for edges_from_events / node_indegree
+        # (driver-green r1-r4)
         "degree_distribution_events": q_degree_distribution_events,
         "pagerank_events": q_pagerank_events,
         "personalized_pagerank_events": q_personalized_pagerank_events,
@@ -1170,8 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_events": q_closeness_events,
         "kcore_events": q_kcore_events,
         "scc_events": q_scc_events,
-        "label_propagation_events": q_label_propagation_events,
-        # rotated in for triangles_events (driver-green r1-r4)
+        # rotated in for triangles_events and
+        # label_propagation_events (driver-green r1-r4)
         "late_line_priority_counts": q_late_line_priority_counts,
         "clustering_events": q_clustering_events,
         "hits_events": q_hits_events,
@@ -1185,7 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_propagation_events": q_feature_propagation_events,
         "assortativity_events": q_assortativity_events,
         "reciprocity_events": q_reciprocity_events,
-        "distinct_users_per_type": q_distinct_users_per_type,
+        # rotated in for distinct_users_per_type (driver-green r2+r4)
         "sessionize_events": q_sessionize_events,
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "props_key_stats": q_props_key_stats,
@@ -1203,6 +1243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_pruned_order_lines": q_bloom_pruned_order_lines,
         "order_priority_counts": q_order_priority_counts,
         "large_volume_orders": q_large_volume_orders,
+        "nation_pair_volume": q_nation_pair_volume,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "supplier_part_counts": q_supplier_part_counts,
+        "idle_rich_customers": q_idle_rich_customers,
         "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
         "knn_ivf": q_knn_ivf,
@@ -1257,6 +1301,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_events": q_connected_components_events,
         # rotated out (driver-green r1-r4) for late_line_priority_counts
         "triangles_events": q_triangles_events,
+        # rotated out (driver-green r1-r4) for nation_pair_volume
+        "edges_from_events": q_edges_from_events,
+        # rotated out (driver-green r1-r4) for disjunctive_revenue
+        "node_indegree": q_node_indegree,
+        # rotated out (driver-green r2-r4) for supplier_part_counts
+        "label_propagation_events": q_label_propagation_events,
+        # rotated out (driver-green r2+r4) for idle_rich_customers
+        "distinct_users_per_type": q_distinct_users_per_type,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1597,13 +1649,17 @@ def oracle_sql() -> dict[str, str]:
         WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
                                                   CUSTOMER_ORDER_DIST_SQL,
+                                                  DISJUNCTIVE_REVENUE_SQL,
+                                                  IDLE_RICH_CUSTOMERS_SQL,
                                                   LARGE_VOLUME_SQL,
                                                   LATE_LINE_PRIORITY_SQL,
+                                                  NATION_PAIR_VOLUME_SQL,
                                                   ORDER_PRIORITY_SQL,
                                                   PRICING_SUMMARY_SQL,
                                                   PROMO_REVENUE_SQL,
                                                   RETURNED_CUSTOMER_SQL,
                                                   REVENUE_BY_NATION_SQL,
+                                                  SUPPLIER_PART_COUNTS_SQL,
                                                   TOP_REVENUE_SQL)
 
     return {
@@ -1749,6 +1805,20 @@ def oracle_sql() -> dict[str, str]:
             late_days=30),
         # Q18 shape: integral quantities sum exactly as BIGINT
         "large_volume_orders": LARGE_VOLUME_SQL.format(min_qty=250),
+        # Q7 shape: nation-pair volume by direction and ship year
+        "nation_pair_volume": NATION_PAIR_VOLUME_SQL.format(
+            nation_a="NATION_10", nation_b="NATION_12",
+            date_from="1996-01-01", date_to="1998-01-01"),
+        # Q19 shape: OR-of-clauses revenue, one rounded scalar
+        "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
+        # Q16 shape: distinct supplier counts, exact ints
+        "supplier_part_counts": SUPPLIER_PART_COUNTS_SQL.format(
+            excl_brand="Brand#5", excl_type="MEDIUM",
+            sizes="(1, 4, 9, 16, 25, 36, 49)"),
+        # Q22 shape: NOT EXISTS realizes the engine's
+        # tag-union-groupby anti-join
+        "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL.format(
+            since="2000-06-01"),
         # Q13 shape: left join realizes the engine's count-arithmetic
         # zero bucket; exact int histogram
         "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,

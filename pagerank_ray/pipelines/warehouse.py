@@ -1150,3 +1150,501 @@ LATE_LINE_PRIORITY_SQL = """
     GROUP BY l.l_returnflag
     ORDER BY l.l_returnflag
 """
+
+
+def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_10",
+                       nation_b: str = "NATION_12",
+                       date_from: str = "1996-01-01",
+                       date_to: str = "1998-01-01"):
+    """TPC-H Q7 shape: shipping volume between a nation PAIR — revenue
+    of lineitems shipped in [date_from, date_to) whose supplier sits
+    in one nation of the pair and whose ordering customer sits in the
+    other, grouped by (supp_nation, cust_nation, ship year). Returns
+    (supp_nation, cust_nation, l_year, revenue) — both directions.
+
+    Scale shape (the Q5 join plan with a second nation tag): customer
+    pre-filters to the pair's two nations BEFORE joining, so the
+    orders exchange carries only pair customers; orders ⋈ customer and
+    lineitem ⋈ orders are partitioned hash joins; the supplier
+    (suppkey -> nationkey) lookup broadcasts via ray.put (at TPC-H
+    scale supplier grows linearly — flip it to a third hash join, same
+    note as revenue_by_nation). The lineitem scan date-filters and
+    drops non-pair suppliers per batch before any shuffle; revenue
+    pre-aggregates per batch so the final groupby sees
+    O(2 x years) rows per block.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    i64, s = pa.int64(), pa.string()
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    keys = {row.n_name: int(row.n_nationkey)
+            for row in nation.itertuples() if row.n_name in
+            (nation_a, nation_b)}
+    if len(keys) != 2:
+        raise ValueError(f"nations not found: {nation_a}, {nation_b}")
+    names = {v: k for k, v in keys.items()}
+    pair_keys = pa.array(sorted(names), pa.int32())
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: t.filter(pc.is_valid(pc.index_in(
+                t.column("c_nationkey"), value_set=pair_keys))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    nparts = default_join_partitions()
+    j1 = hash_join(orders, cust, on=("o_custkey",),
+                   right_on=("c_custkey",),
+                   right_schema=[("c_custkey", i64),
+                                 ("c_nationkey", pa.int32())]
+                   ).repartition(nparts)
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(list(names))]
+    sref = ray.put((pa.array(supp["s_suppkey"].to_numpy()),
+                    supp["s_nationkey"].to_numpy().astype(np.int64)))
+
+    def li_side(t: pa.Table, *, sref) -> pa.Table:
+        skeys, snation = ray.get(sref) if isinstance(
+            sref, ray.ObjectRef) else sref
+        ship = t.column("l_shipdate")
+        sus = ship.cast(i64).to_numpy(zero_copy_only=False)
+        keep = (sus >= int(lo)) & (sus < int(hi))
+        pos = pc.index_in(t.column("l_suppkey"),
+                          value_set=skeys).to_numpy(
+                              zero_copy_only=False)
+        valid = pos == pos
+        keep &= valid
+        t2 = t.filter(pa.array(keep))
+        if t2.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "supp_nat": pa.array([], i64),
+                             "l_year": pa.array([], i64),
+                             "rev": pa.array([], pa.float64())})
+        posk = pos[keep].astype(np.int64)
+        year = pc.year(t2.column("l_shipdate")).cast(i64)
+        price = t2.column("l_extendedprice").to_numpy()
+        disc = t2.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t2.column("l_orderkey"),
+            "supp_nat": pa.array(snation[posk]),
+            "l_year": year,
+            "rev": pa.array(price * (1.0 - disc)),
+        })
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]).map_batches(
+            li_side, fn_kwargs={"sref": sref},
+            batch_format="pyarrow")
+    # j1's blocks are join output (left cols + right-minus-key):
+    # schema hints keep the padding typed if an empty block leads
+    j2 = hash_join(lineitem, j1, on=("l_orderkey",),
+                   right_on=("o_orderkey",),
+                   left_schema=[("l_orderkey", i64),
+                                ("supp_nat", i64), ("l_year", i64),
+                                ("rev", pa.float64())],
+                   right_schema=[("o_orderkey", i64),
+                                 ("o_custkey", i64),
+                                 ("c_nationkey", pa.int32())]
+                   ).repartition(nparts)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        cols = {"supp_nat": pa.array([], i64),
+                "cust_nat": pa.array([], i64),
+                "l_year": pa.array([], i64),
+                "rev": pa.array([], pa.float64())}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        sn = t.column("supp_nat").to_numpy(zero_copy_only=False)
+        cn = t.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = sn != cn  # both already restricted to the pair
+        if not keep.any():
+            return pa.table(cols)
+        df = (pd.DataFrame({
+                "supp_nat": sn[keep], "cust_nat": cn[keep],
+                "l_year": t.column("l_year").to_numpy(
+                    zero_copy_only=False)[keep],
+                "rev": t.column("rev").to_numpy()[keep]})
+              .groupby(["supp_nat", "cust_nat", "l_year"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (j2.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["supp_nat", "cust_nat", "l_year"]).sum("rev"))
+    t = agg.to_pandas()
+    f64 = pa.float64()
+    if t.empty:
+        return pa.table({"supp_nation": pa.array([], s),
+                         "cust_nation": pa.array([], s),
+                         "l_year": pa.array([], i64),
+                         "revenue": pa.array([], f64)})
+    t = t.sort_values(["supp_nat", "cust_nat", "l_year"])
+    return pa.table({
+        "supp_nation": pa.array([names[k] for k in t["supp_nat"]], s),
+        "cust_nation": pa.array([names[k] for k in t["cust_nat"]], s),
+        "l_year": pa.array(t["l_year"].to_numpy().astype(np.int64),
+                           i64),
+        "revenue": pa.array(np.round(t["sum(rev)"].to_numpy(), 2)),
+    })
+
+
+NATION_PAIR_VOLUME_SQL = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+      AND l.l_shipdate <  TIMESTAMP '{date_to}'
+      AND ((sn.n_name = '{nation_a}' AND cn.n_name = '{nation_b}')
+        OR (sn.n_name = '{nation_b}' AND cn.n_name = '{nation_a}'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+_Q19_CLAUSES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#14", 1, 15, 20, 30),
+)
+
+
+def disjunctive_revenue(sf_dir: str, clauses=_Q19_CLAUSES) -> pa.Table:
+    """TPC-H Q19 shape: total discounted revenue of lineitems matching
+    an OR of (brand, part-size range, lineitem-quantity range) clauses
+    (the sandbox part/lineitem tables carry no container/shipmode, so
+    the clauses use p_brand, p_size and l_quantity). Returns one row
+    (revenue), rounded to 2 decimals.
+
+    Scale shape: the disjunction splits across the join — the part
+    side of every clause (brand + size range) filters the PART scan
+    down to a small key set that broadcasts via ray.put as a
+    (partkey -> clause id) map; the lineitem side (quantity range,
+    per clause) is then one vectorized gather + range test per batch.
+    The lineitem scan never joins: one broadcast lookup, one boolean
+    kernel, a per-batch partial sum — the shuffle carries one scalar
+    per block. Clauses with distinct brands are disjoint so a part
+    maps to at most one clause id.
+    """
+    i64, f64 = pa.int64(), pa.float64()
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk, cl = [], []
+    for ci, (brand, slo, shi, _, _) in enumerate(clauses):
+        m = ((part["p_brand"] == brand) & (part["p_size"] >= slo)
+             & (part["p_size"] <= shi))
+        pk.append(part.loc[m, "p_partkey"].to_numpy())
+        cl.append(np.full(int(m.sum()), ci, dtype=np.int64))
+    pkeys = np.concatenate(pk) if pk else np.array([], np.int64)
+    clid = np.concatenate(cl) if cl else np.array([], np.int64)
+    qlo = np.array([c[3] for c in clauses], np.float64)
+    qhi = np.array([c[4] for c in clauses], np.float64)
+    pref = ray.put((pa.array(pkeys), clid))
+
+    def li_partial(t: pa.Table, *, pref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rev": pa.array([], f64)})
+        keys, cids = ray.get(pref) if isinstance(
+            pref, ray.ObjectRef) else pref
+        pos = pc.index_in(t.column("l_partkey"),
+                          value_set=keys).to_numpy(
+                              zero_copy_only=False)
+        valid = pos == pos
+        if not valid.any():
+            return pa.table({"rev": pa.array([], f64)})
+        qty = t.column("l_quantity").to_numpy()
+        ci = np.full(t.num_rows, -1, dtype=np.int64)
+        ci[valid] = cids[pos[valid].astype(np.int64)]
+        keep = valid & (qty >= qlo[ci]) & (qty <= qhi[ci])
+        if not keep.any():
+            return pa.table({"rev": pa.array([], f64)})
+        price = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        return pa.table({"rev": pa.array(
+            [float(np.sum(price * (1.0 - disc)))], f64)})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).map_batches(
+            li_partial, fn_kwargs={"pref": pref},
+            batch_format="pyarrow")
+    total = ds.sum("rev") or 0.0
+    return pa.table({"revenue": pa.array([round(float(total), 2)],
+                                         f64)})
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def supplier_part_counts(sf_dir: str, excl_brand: str = "Brand#5",
+                         excl_type: str = "MEDIUM",
+                         sizes=_Q16_SIZES) -> pa.Table:
+    """TPC-H Q16 shape: for each (brand, type, size) of parts outside
+    an excluded brand/type and within a size list, the number of
+    DISTINCT suppliers that ship that part, excluding suppliers on a
+    deny list (the sandbox has no partsupp table or supplier
+    complaints text, so lineitem's (l_partkey, l_suppkey) pairs stand
+    in for partsupp and s_acctbal < 0 stands in for the complaints
+    NOT IN). Returns (p_brand, p_type, p_size, supplier_cnt), exact
+    integers.
+
+    Scale shape: the filtered part attributes broadcast via ray.put as
+    a (partkey -> row) map (the filter keeps a constant fraction; at
+    TPC-H scale flip to a partitioned hash join — same note as
+    revenue_by_nation); the supplier deny list is genuinely tiny and
+    broadcasts as a key set. The lineitem scan filters both per batch
+    and emits PER-BATCH-DEDUPED (brand, type, size, suppkey) rows, so
+    the distinct shuffle carries at most one row per (part-group,
+    supplier) per batch; one groupby dedupes globally and a second
+    O(groups) groupby counts.
+    """
+    i32, i64, s = pa.int32(), pa.int64(), pa.string()
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    m = ((part["p_brand"] != excl_brand)
+         & (part["p_type"] != excl_type)
+         & part["p_size"].isin(list(sizes)))
+    part = part[m]
+    pref = ray.put((pa.array(part["p_partkey"].to_numpy()),
+                    part["p_brand"].to_numpy(),
+                    part["p_type"].to_numpy(),
+                    part["p_size"].to_numpy().astype(np.int64)))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"]
+                           ).to_pandas()
+    deny = pa.array(
+        supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy())
+
+    def li_pairs(t: pa.Table, *, pref) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], s),
+                          "p_type": pa.array([], s),
+                          "p_size": pa.array([], i64),
+                          "l_suppkey": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        keys, brand, ptype, size = ray.get(pref) if isinstance(
+            pref, ray.ObjectRef) else pref
+        pos = pc.index_in(t.column("l_partkey"),
+                          value_set=keys).to_numpy(
+                              zero_copy_only=False)
+        keep = pos == pos
+        if len(deny) > 0:
+            keep &= ~pc.is_valid(pc.index_in(
+                t.column("l_suppkey"),
+                value_set=deny)).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        posk = pos[keep].astype(np.int64)
+        df = pd.DataFrame({
+            "p_brand": brand[posk], "p_type": ptype[posk],
+            "p_size": size[posk],
+            "l_suppkey": t.column("l_suppkey").to_numpy()[keep]})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]).map_batches(
+            li_pairs, fn_kwargs={"pref": pref},
+            batch_format="pyarrow")
+    distinct = pairs.groupby(
+        ["p_brand", "p_type", "p_size", "l_suppkey"]).count()
+    counts = (distinct.select_columns(["p_brand", "p_type", "p_size"])
+              .groupby(["p_brand", "p_type", "p_size"]).count())
+    t = counts.to_pandas()
+    if t.empty:
+        return pa.table({"p_brand": pa.array([], s),
+                         "p_type": pa.array([], s),
+                         "p_size": pa.array([], i64),
+                         "supplier_cnt": pa.array([], i64)})
+    t = t.sort_values(["p_brand", "p_type", "p_size"])
+    return pa.table({
+        "p_brand": pa.array(t["p_brand"], s),
+        "p_type": pa.array(t["p_type"], s),
+        "p_size": pa.array(t["p_size"].to_numpy().astype(np.int64),
+                           i64),
+        "supplier_cnt": pa.array(
+            t["count()"].to_numpy().astype(np.int64), i64)})
+
+
+SUPPLIER_PART_COUNTS_SQL = """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{excl_brand}'
+      AND p.p_type <> '{excl_type}'
+      AND p.p_size IN {sizes}
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def idle_rich_customers(sf_dir: str,
+                        since: str = "2000-06-01") -> pa.Table:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    customers whose account balance exceeds the average POSITIVE
+    balance and who have placed NO order since ``since`` (the sandbox
+    customer table has no phone column, so nationkey stands in for
+    Q22's country code, and the recent-order window keeps the
+    anti-join non-trivial — every synthetic customer has at least one
+    lifetime order). Returns (c_nationkey, numcust, totacctbal),
+    exact count + 2dp balance sum.
+
+    Scale shape: pass 1 is a scalar reduction (sum + count of positive
+    balances — O(1) driver bytes) whose threshold broadcasts as a
+    plain float; pass 2 is the tag-union-groupby ANTI-join (the
+    dangling_nodes discipline): threshold-filtered customers tagged 0
+    carrying (nationkey, acctbal), per-batch-distinct custkeys of
+    date-filtered orders tagged 1 with null attributes, one
+    groupby(custkey) keeps sum(flag)=0 groups — no driver-side key
+    set, no outer join. The final per-nation rollup shuffles
+    O(nations) rows per block.
+    """
+    i32, i64, f64 = pa.int32(), pa.int64(), pa.float64()
+    lo = _ts_us(since)
+
+    cust_cols = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy()
+        pos = bal[bal > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())], f64),
+                         "n": pa.array([len(pos)], i64)})
+
+    agg = (cust_cols.map_batches(pos_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .aggregate(rd.aggregate.Sum("s"), rd.aggregate.Sum("n")))
+    n_pos = agg["sum(n)"] or 0
+    thresh = (agg["sum(s)"] / n_pos) if n_pos else np.inf
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("c_acctbal"), pa.scalar(thresh))
+        t2 = t.filter(keep)
+        return pa.table({
+            "c_custkey": t2.column("c_custkey"),
+            "flag": pa.array(np.zeros(t2.num_rows, np.int64)),
+            "c_nationkey": t2.column("c_nationkey").cast(i64),
+            "c_acctbal": t2.column("c_acctbal"),
+        })
+
+    rich = cust_cols.map_batches(cust_side, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(i64)
+        t2 = t.filter(pc.greater_equal(od, pa.scalar(int(lo), i64)))
+        u = pc.unique(t2.column("o_custkey").combine_chunks())
+        n = len(u)
+        return pa.table({
+            "c_custkey": u,
+            "flag": pa.array(np.ones(n, np.int64)),
+            "c_nationkey": pa.array([None] * n, i64),
+            "c_acctbal": pa.array([None] * n, f64),
+        })
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"]).map_batches(
+            orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = (rich.union(recent).groupby("c_custkey")
+              .aggregate(rd.aggregate.Sum("flag"),
+                         rd.aggregate.Max("c_nationkey"),
+                         rd.aggregate.Sum("c_acctbal")))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.array([], i64),
+                          "numcust": pa.array([], i64),
+                          "totacctbal": pa.array([], f64)})
+        if t.num_rows == 0:
+            return empty
+        # sum(flag)=0 -> rich AND idle; such groups always contain the
+        # one customer row, so nationkey/acctbal are non-null there
+        keep = (pc.equal(t.column("sum(flag)"), 0).to_numpy(
+            zero_copy_only=False))
+        nat = t.column("max(c_nationkey)").to_numpy(
+            zero_copy_only=False)[keep]
+        bal = t.column("sum(c_acctbal)").to_numpy(
+            zero_copy_only=False)[keep]
+        if len(nat) == 0:
+            return empty
+        df = (pd.DataFrame({"c_nationkey": nat.astype(np.int64),
+                            "numcust": 1, "totacctbal": bal})
+              .groupby("c_nationkey", sort=False)
+              .agg(numcust=("numcust", "sum"),
+                   totacctbal=("totacctbal", "sum")).reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (merged.map_batches(nation_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("c_nationkey")
+           .aggregate(rd.aggregate.Sum("numcust"),
+                      rd.aggregate.Sum("totacctbal")))
+    t = out.to_pandas()
+    if t.empty:
+        return pa.table({"c_nationkey": pa.array([], i64),
+                         "numcust": pa.array([], i64),
+                         "totacctbal": pa.array([], f64)})
+    t = t.sort_values("c_nationkey")
+    return pa.table({
+        "c_nationkey": pa.array(
+            t["c_nationkey"].to_numpy().astype(np.int64), i64),
+        "numcust": pa.array(
+            t["sum(numcust)"].to_numpy().astype(np.int64), i64),
+        "totacctbal": pa.array(
+            np.round(t["sum(totacctbal)"].to_numpy(), 2), f64)})
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{since}')
+    GROUP BY 1
+    ORDER BY 1
+"""

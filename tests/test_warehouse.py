@@ -260,3 +260,91 @@ def test_late_line_priority_counts_empty_window():
     got = late_line_priority_counts(SF, date_from="1970-01-01",
                                     date_to="1970-02-01").to_pandas()
     assert len(got) == 0
+
+
+def _duck(tables=("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem")):
+    import duckdb
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_nation_pair_volume_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (NATION_PAIR_VOLUME_SQL,
+                                                  nation_pair_volume)
+    got = nation_pair_volume(SF).to_pandas().sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    exp = _duck().execute(NATION_PAIR_VOLUME_SQL.format(
+        nation_a="NATION_10", nation_b="NATION_12",
+        date_from="1996-01-01", date_to="1998-01-01")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["supp_nation"].tolist() == exp["supp_nation"].tolist()
+    assert got["cust_nation"].tolist() == exp["cust_nation"].tolist()
+    assert got["l_year"].tolist() == exp["l_year"].tolist()
+    assert np.allclose(got["revenue"], exp["revenue"], atol=1e-9)
+
+
+def test_nation_pair_volume_unknown_nation():
+    import pytest
+
+    from pagerank_ray.pipelines.warehouse import nation_pair_volume
+    with pytest.raises(ValueError):
+        nation_pair_volume(SF, nation_a="NOPE", nation_b="NATION_1")
+
+
+def test_disjunctive_revenue_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (DISJUNCTIVE_REVENUE_SQL,
+                                                  disjunctive_revenue)
+    got = disjunctive_revenue(SF)
+    exp = _duck().execute(DISJUNCTIVE_REVENUE_SQL).df()
+    assert got.num_rows == 1
+    assert abs(got.column("revenue")[0].as_py()
+               - float(exp["revenue"].iloc[0])) < 1e-9
+
+
+def test_disjunctive_revenue_no_matching_clause():
+    from pagerank_ray.pipelines.warehouse import disjunctive_revenue
+    got = disjunctive_revenue(
+        SF, clauses=(("Brand#99", 1, 5, 1, 11),))
+    assert got.num_rows == 1
+    assert got.column("revenue")[0].as_py() == 0.0
+
+
+def test_supplier_part_counts_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (SUPPLIER_PART_COUNTS_SQL,
+                                                  supplier_part_counts)
+    got = supplier_part_counts(SF).to_pandas().sort_values(
+        ["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    exp = _duck().execute(SUPPLIER_PART_COUNTS_SQL.format(
+        excl_brand="Brand#5", excl_type="MEDIUM",
+        sizes="(1, 4, 9, 16, 25, 36, 49)")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("p_brand", "p_type"):
+        assert got[c].tolist() == exp[c].tolist()
+    for c in ("p_size", "supplier_cnt"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+
+def test_idle_rich_customers_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (IDLE_RICH_CUSTOMERS_SQL,
+                                                  idle_rich_customers)
+    got = idle_rich_customers(SF).to_pandas().sort_values(
+        "c_nationkey").reset_index(drop=True)
+    exp = _duck().execute(IDLE_RICH_CUSTOMERS_SQL.format(
+        since="2000-06-01")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["c_nationkey"].to_numpy()
+            == exp["c_nationkey"].to_numpy()).all()
+    assert (got["numcust"].to_numpy() == exp["numcust"].to_numpy()).all()
+    assert np.allclose(got["totacctbal"], exp["totacctbal"], atol=1e-9)
+
+
+def test_idle_rich_customers_impossible_window():
+    # a window before any order: every customer has ordered since,
+    # so the anti-join keeps nobody
+    from pagerank_ray.pipelines.warehouse import idle_rich_customers
+    got = idle_rich_customers(SF, since="1990-01-01")
+    assert got.num_rows == 0
