@@ -1031,6 +1031,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import idle_rich_customers
         return idle_rich_customers(sf_dir)
 
+    def q_market_share(sf_dir):
+        """TPC-H Q8 shape (pipelines/warehouse.py:market_share):
+        per-year nation vs total revenue for one part type and one
+        customer region — exact market-share sufficient statistics
+        (the ratio is the caller's float); region-filtered customer
+        side, two partitioned hash joins, broadcast part/supplier
+        lookups, per-batch (year, flag) partials."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import market_share
+        return market_share(sf_dir)
+
+    def q_profit_by_nation(sf_dir):
+        """TPC-H Q9 shape (pipelines/warehouse.py:profit_by_nation):
+        per (supplier nation, order year) profit on name-filtered
+        parts — broadcast part/supplier maps, one vectorized
+        profit pass with per-batch (order, nation) partials, one
+        partitioned orders join for the year."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import profit_by_nation
+        return profit_by_nation(sf_dir)
+
+    def q_top_supplier_revenue(sf_dir):
+        """TPC-H Q15 shape (pipelines/warehouse.py:
+        top_supplier_revenue): max-revenue supplier over a ship
+        window — per-batch supplier partials, 2dp grid BEFORE the
+        Dataset max so the winner equality is grid-exact, broadcast
+        name fetch for winners only."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import top_supplier_revenue
+        return top_supplier_revenue(sf_dir)
+
+    def q_small_quantity_revenue(sf_dir):
+        """TPC-H Q17 shape (pipelines/warehouse.py:
+        small_quantity_revenue): revenue of below-20%-of-part-average
+        quantity lines — the 0.2*avg test runs EXACT in int64
+        (5*q*cnt < sum), two bounded scans, zero joins, one scalar
+        partial per block."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import small_quantity_revenue
+        return small_quantity_revenue(sf_dir)
+
     def q_customer_order_distribution(sf_dir):
         """TPC-H Q13 shape
         (pipelines/warehouse.py:customer_order_distribution):
@@ -1201,12 +1242,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated in for edges_from_events / node_indegree
         # (driver-green r1-r4)
         "degree_distribution_events": q_degree_distribution_events,
-        "pagerank_events": q_pagerank_events,
-        "personalized_pagerank_events": q_personalized_pagerank_events,
-        "search_events": q_search_events,
+        # rotated in for pagerank_events / personalized_pagerank_events
+        # / search_events (rows-only by design, driver rows r1-r4) and
+        # bfs_events (driver hash-green r4): market_share,
+        # profit_by_nation, top_supplier_revenue,
+        # small_quantity_revenue
+        "market_share": q_market_share,
+        "profit_by_nation": q_profit_by_nation,
+        "top_supplier_revenue": q_top_supplier_revenue,
         # rotated in for connected_components_events (green r1-r4)
         "customer_order_distribution": q_customer_order_distribution,
-        "bfs_events": q_bfs_events,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "closeness_events": q_closeness_events,
         "kcore_events": q_kcore_events,
         "scc_events": q_scc_events,
@@ -1309,6 +1355,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation_events": q_label_propagation_events,
         # rotated out (driver-green r2+r4) for idle_rich_customers
         "distinct_users_per_type": q_distinct_users_per_type,
+        # rotated out for market_share / profit_by_nation /
+        # top_supplier_revenue (rows-only by design — float-iterative
+        # surfaces with sanctioned no_oracle driver rows r1-r4; the
+        # pytest exactness gates keep covering them every round)
+        "pagerank_events": q_pagerank_events,
+        "personalized_pagerank_events": q_personalized_pagerank_events,
+        "search_events": q_search_events,
+        # rotated out (driver hash-green r4) for small_quantity_revenue
+        "bfs_events": q_bfs_events,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1653,14 +1708,18 @@ def oracle_sql() -> dict[str, str]:
                                                   IDLE_RICH_CUSTOMERS_SQL,
                                                   LARGE_VOLUME_SQL,
                                                   LATE_LINE_PRIORITY_SQL,
+                                                  MARKET_SHARE_SQL,
                                                   NATION_PAIR_VOLUME_SQL,
                                                   ORDER_PRIORITY_SQL,
                                                   PRICING_SUMMARY_SQL,
+                                                  PROFIT_BY_NATION_SQL,
                                                   PROMO_REVENUE_SQL,
                                                   RETURNED_CUSTOMER_SQL,
                                                   REVENUE_BY_NATION_SQL,
+                                                  SMALL_QUANTITY_SQL,
                                                   SUPPLIER_PART_COUNTS_SQL,
-                                                  TOP_REVENUE_SQL)
+                                                  TOP_REVENUE_SQL,
+                                                  TOP_SUPPLIER_SQL)
 
     return {
         # langid: same stopword table + RE2 patterns as LangId
@@ -1819,6 +1878,21 @@ def oracle_sql() -> dict[str, str]:
         # tag-union-groupby anti-join
         "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL.format(
             since="2000-06-01"),
+        # Q8 shape: market-share sufficient statistics per year
+        "market_share": MARKET_SHARE_SQL.format(
+            supp_nation="NATION_2", region="ASIA", part_type="PROMO",
+            date_from="1995-01-01", date_to="1997-01-01"),
+        # Q9 shape: profit per (supplier nation, order year)
+        "profit_by_nation": PROFIT_BY_NATION_SQL.format(
+            name_prefix="red"),
+        # Q15 shape: 2dp grid before the max keeps the winner
+        # equality grid-exact
+        "top_supplier_revenue": TOP_SUPPLIER_SQL.format(
+            date_from="1996-01-01", date_to="1996-04-01"),
+        # Q17 shape: the 0.2*avg test replays EXACT in BIGINT
+        # (5*q*cnt < sum)
+        "small_quantity_revenue": SMALL_QUANTITY_SQL.format(
+            brand="Brand#3"),
         # Q13 shape: left join realizes the engine's count-arithmetic
         # zero bucket; exact int histogram
         "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,

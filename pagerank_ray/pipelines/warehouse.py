@@ -1648,3 +1648,518 @@ IDLE_RICH_CUSTOMERS_SQL = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def market_share(sf_dir: str, supp_nation: str = "NATION_2",
+                 region: str = "ASIA", part_type: str = "PROMO",
+                 date_from: str = "1995-01-01",
+                 date_to: str = "1997-01-01"):
+    """TPC-H Q8 shape: per order year, the revenue supplied by
+    ``supp_nation`` vs ALL revenue, over lineitems of ``part_type``
+    parts ordered by ``region`` customers in [date_from, date_to).
+    Returns (o_year, nation_rev, total_rev) — the exact sufficient
+    statistics of the market share; mkt_share = nation_rev/total_rev
+    is the caller's one float (the assortativity_stats discipline),
+    so the cross-engine value hash stays on the 2dp revenue grid.
+
+    Scale shape (the Q5/Q7 join plan plus a broadcast part filter):
+    customer pre-filters to the region's nations BEFORE joining, so
+    the orders exchange carries region customers only; orders keep
+    (o_orderkey, o_custkey, o_year) past the date filter; lineitem
+    drops non-``part_type`` parts per batch via a broadcast partkey
+    set and tags each row with its supplier-nation flag via the
+    broadcast (suppkey -> nationkey) lookup (both small here; at
+    TPC-H scale flip each to a partitioned hash join, same note as
+    revenue_by_nation); two partitioned hash joins line up lineitem
+    with its order year; per-batch partials reduce the final groupby
+    to O(2 x years) rows per block.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    i64, f64 = pa.int64(), pa.float64()
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    regk = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    regk = set(regk.loc[regk["r_name"] == region, "r_regionkey"])
+    reg_nat = pa.array(
+        nation.loc[nation["n_regionkey"].isin(regk),
+                   "n_nationkey"].to_numpy())
+    tgt = nation.loc[nation["n_name"] == supp_nation, "n_nationkey"]
+    if len(tgt) != 1:
+        raise ValueError(f"nation not found: {supp_nation}")
+    tgt_key = int(tgt.iloc[0])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: t.select(["c_custkey"]).filter(pc.is_valid(
+                pc.index_in(t.column("c_nationkey"),
+                            value_set=reg_nat))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(i64)
+        keep = pc.and_(pc.greater_equal(od, pa.scalar(int(lo))),
+                       pc.less(od, pa.scalar(int(hi))))
+        t2 = t.filter(keep)
+        return pa.table({
+            "o_orderkey": t2.column("o_orderkey"),
+            "o_custkey": t2.column("o_custkey"),
+            "o_year": pc.year(t2.column("o_orderdate")).cast(i64)})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    j1 = hash_join(orders, cust, on=("o_custkey",),
+                   right_on=("c_custkey",),
+                   right_schema=[("c_custkey", i64)]
+                   ).repartition(nparts)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = pa.array(
+        part.loc[part["p_type"] == part_type, "p_partkey"].to_numpy())
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).to_pandas()
+    bref = ray.put((pkeys,
+                    pa.array(supp["s_suppkey"].to_numpy()),
+                    supp["s_nationkey"].to_numpy().astype(np.int64)))
+
+    def li_side(t: pa.Table, *, bref) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], i64),
+                          "is_tgt": pa.array([], i64),
+                          "rev": pa.array([], f64)})
+        if t.num_rows == 0:
+            return empty
+        pk, skeys, snation = ray.get(bref) if isinstance(
+            bref, ray.ObjectRef) else bref
+        keep = pc.is_valid(pc.index_in(
+            t.column("l_partkey"), value_set=pk)).to_numpy(
+                zero_copy_only=False)
+        if not keep.any():
+            return empty
+        t2 = t.filter(pa.array(keep))
+        pos = pc.index_in(t2.column("l_suppkey"),
+                          value_set=skeys).to_numpy(
+                              zero_copy_only=False)
+        snat = np.full(t2.num_rows, -1, dtype=np.int64)
+        valid = pos == pos
+        snat[valid] = snation[pos[valid].astype(np.int64)]
+        price = t2.column("l_extendedprice").to_numpy()
+        disc = t2.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t2.column("l_orderkey"),
+            "is_tgt": pa.array((snat == tgt_key).astype(np.int64)),
+            "rev": pa.array(price * (1.0 - disc))})
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+            li_side, fn_kwargs={"bref": bref},
+            batch_format="pyarrow")
+
+    j2 = hash_join(lineitem, j1, on=("l_orderkey",),
+                   right_on=("o_orderkey",),
+                   left_schema=[("l_orderkey", i64), ("is_tgt", i64),
+                                ("rev", f64)],
+                   right_schema=[("o_orderkey", i64),
+                                 ("o_custkey", i64),
+                                 ("o_year", i64)]
+                   ).repartition(nparts)
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_year": pa.array([], i64),
+                             "nat": pa.array([], f64),
+                             "tot": pa.array([], f64)})
+        rev = t.column("rev").to_numpy()
+        df = (pd.DataFrame({
+                "o_year": t.column("o_year").to_numpy(),
+                "nat": rev * t.column("is_tgt").to_numpy(),
+                "tot": rev})
+              .groupby("o_year", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (j2.map_batches(year_partial, batch_format="pyarrow")
+           .groupby("o_year").sum(["nat", "tot"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_year": pa.array([], i64),
+                             "nation_rev": pa.array([], f64),
+                             "total_rev": pa.array([], f64)})
+        return pa.table({
+            "o_year": t.column("o_year"),
+            "nation_rev": pa.array(np.round(
+                t.column("sum(nat)").to_numpy(), 2)),
+            "total_rev": pa.array(np.round(
+                t.column("sum(tot)").to_numpy(), 2))})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+MARKET_SHARE_SQL = """
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(SUM(CASE WHEN n2.n_name = '{supp_nation}'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS nation_rev,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS total_rev
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = '{region}' AND p.p_type = '{part_type}'
+      AND o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate <  TIMESTAMP '{date_to}'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def profit_by_nation(sf_dir: str, name_prefix: str = "red"):
+    """TPC-H Q9 shape: per (supplier nation, order year), the profit
+    on parts whose name starts with ``name_prefix`` — profit =
+    l_extendedprice*(1-l_discount) - 0.1*p_retailprice*l_quantity
+    (the sandbox has no partsupp, so 10% of p_retailprice stands in
+    for ps_supplycost; reference Q9 uses ps_supplycost*l_quantity).
+    Returns (n_name, o_year, profit) on the 2dp grid.
+
+    Scale shape: the name-filtered part attributes broadcast via
+    ray.put as a (partkey -> retailprice) map and the supplier
+    (suppkey -> nationkey) map broadcasts alongside (both small here;
+    at TPC-H scale flip each to a partitioned hash join — the
+    revenue_by_nation note); the lineitem scan computes per-row
+    profit AND the (nation, ...) tag in one vectorized pass, then
+    pre-aggregates per batch by (nationkey, orderkey-join pending),
+    so the orders join (partitioned, for the year) carries one row
+    per (order, nation) per batch instead of one per lineitem.
+    """
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64, f64, s = pa.int64(), pa.float64(), pa.string()
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.startswith(name_prefix)]
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    bref = ray.put((pa.array(part["p_partkey"].to_numpy()),
+                    part["p_retailprice"].to_numpy(),
+                    pa.array(supp["s_suppkey"].to_numpy()),
+                    supp["s_nationkey"].to_numpy().astype(np.int64)))
+
+    def li_side(t: pa.Table, *, bref) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], i64),
+                          "nationkey": pa.array([], i64),
+                          "profit": pa.array([], f64)})
+        if t.num_rows == 0:
+            return empty
+        pk, retail, skeys, snation = ray.get(bref) if isinstance(
+            bref, ray.ObjectRef) else bref
+        pos = pc.index_in(t.column("l_partkey"),
+                          value_set=pk).to_numpy(
+                              zero_copy_only=False)
+        keep = pos == pos
+        if not keep.any():
+            return empty
+        t2 = t.filter(pa.array(keep))
+        posk = pos[keep].astype(np.int64)
+        spos = pc.index_in(t2.column("l_suppkey"),
+                           value_set=skeys).to_numpy(
+                               zero_copy_only=False)
+        snat = np.full(t2.num_rows, -1, dtype=np.int64)
+        valid = spos == spos
+        snat[valid] = snation[spos[valid].astype(np.int64)]
+        price = t2.column("l_extendedprice").to_numpy()
+        disc = t2.column("l_discount").to_numpy()
+        qty = t2.column("l_quantity").to_numpy()
+        profit = price * (1.0 - disc) - 0.1 * retail[posk] * qty
+        # per-batch partial by (order, nation): the orders join then
+        # carries one row per (order, nation) per batch
+        df = (pd.DataFrame({
+                "l_orderkey": t2.column("l_orderkey").to_numpy(),
+                "nationkey": snat, "profit": profit})
+              .groupby(["l_orderkey", "nationkey"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_side, fn_kwargs={"bref": bref},
+                  batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.year(t.column("o_orderdate")).cast(i64)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    j = hash_join(lineitem, orders, on=("l_orderkey",),
+                  right_on=("o_orderkey",),
+                  left_schema=[("l_orderkey", i64),
+                               ("nationkey", i64), ("profit", f64)],
+                  right_schema=[("o_orderkey", i64), ("o_year", i64)]
+                  ).repartition(nparts)
+
+    def ny_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"nationkey": pa.array([], i64),
+                             "o_year": pa.array([], i64),
+                             "profit": pa.array([], f64)})
+        df = (pd.DataFrame({
+                "nationkey": t.column("nationkey").to_numpy(),
+                "o_year": t.column("o_year").to_numpy(),
+                "profit": t.column("profit").to_numpy()})
+              .groupby(["nationkey", "o_year"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (j.map_batches(ny_partial, batch_format="pyarrow")
+           .groupby(["nationkey", "o_year"]).sum("profit"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], s),
+                             "o_year": pa.array([], i64),
+                             "profit": pa.array([], f64)})
+        keys = t.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nat_names[k] for k in keys], s),
+            "o_year": t.column("o_year"),
+            "profit": pa.array(np.round(
+                t.column("sum(profit)").to_numpy(), 2))})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+PROFIT_BY_NATION_SQL = """
+    SELECT n.n_name,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2)
+               AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '{name_prefix}%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01") -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue from
+    lineitems shipped in [date_from, date_to). Returns (s_suppkey,
+    s_name, total_revenue); revenue rounds to the 2dp grid BEFORE the
+    max, so the max-equality select is grid-exact on both engines.
+
+    Scale shape: the date filter + per-batch (suppkey, rev) partials
+    bound the shuffle to O(suppliers) per batch; the per-supplier
+    groupby output stays a Dataset — max is a Dataset aggregate and
+    the winner filter one vectorized map, so nothing but the ≤
+    #winners result lands on the driver; winner names arrive via a
+    broadcast key fetch (suppliers ship nothing through the shuffle).
+    """
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    i64, f64, s = pa.int64(), pa.float64(), pa.string()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(i64).to_numpy(
+            zero_copy_only=False)
+        keep = (ship >= int(lo)) & (ship < int(hi))
+        if not keep.any():
+            return pa.table({"l_suppkey": pa.array([], i64),
+                             "rev": pa.array([], f64)})
+        price = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        df = (pd.DataFrame({
+                "l_suppkey": t.column("l_suppkey").to_numpy()[keep],
+                "rev": price * (1.0 - disc)})
+              .groupby("l_suppkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_supp = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_suppkey").sum("rev")
+        .map_batches(lambda t: pa.table({
+            "l_suppkey": t.column("l_suppkey").cast(i64),
+            "rev": pa.array(np.round(
+                t.column("sum(rev)").to_numpy(), 2))})
+            if t.num_rows else pa.table({
+                "l_suppkey": pa.array([], i64),
+                "rev": pa.array([], f64)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ).materialize()
+
+    best = per_supp.max("rev")
+    if best is None:
+        return pa.table({"s_suppkey": pa.array([], i64),
+                         "s_name": pa.array([], s),
+                         "total_revenue": pa.array([], f64)})
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t.column("rev"),
+                                    pa.scalar(float(best)))),
+        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    win = pa.concat_tables([ray.get(r) for r in winners])
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"]
+                           ).to_pandas().set_index("s_suppkey")
+    keys = win.column("l_suppkey").to_pylist()
+    order = np.argsort(np.asarray(keys, dtype=np.int64))
+    keys = [keys[i] for i in order]
+    return pa.table({
+        "s_suppkey": pa.array(keys, i64),
+        "s_name": pa.array([supp.loc[k, "s_name"] for k in keys], s),
+        "total_revenue": pa.array(
+            win.column("rev").to_numpy()[order], f64)})
+
+
+TOP_SUPPLIER_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{date_from}'
+          AND l_shipdate <  TIMESTAMP '{date_to}'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+
+def small_quantity_revenue(sf_dir: str,
+                           brand: str = "Brand#3") -> pa.Table:
+    """TPC-H Q17 shape: yearly-averaged revenue lost to small orders —
+    the extended-price sum of ``brand`` lineitems whose quantity is
+    below 20% of that part's average lineitem quantity, divided by 7.
+    Returns one row (avg_yearly) on the 2dp grid.
+
+    The 0.2*avg comparison is EXACT: quantities are integral, so
+    q < s/(5c) <=> 5*q*c < s in int64 (s = per-part quantity sum,
+    c = per-part line count) — no float threshold can straddle the
+    engines (the kcore/ktruss exact-arithmetic discipline).
+
+    Scale shape (the textbook two-pass Q17 plan): the brand's partkey
+    set broadcasts via ray.put (constant fraction of part; flip to a
+    hash join at TPC-H scale); pass 1 computes per-part (s, c) with
+    per-batch partials restricted to brand parts (the groupby output
+    is O(brand parts) and broadcasts); pass 2 re-scans lineitem,
+    keeps 5*q*c < s rows via two vectorized gathers, and emits one
+    scalar partial per block. Two bounded scans, zero joins.
+    """
+    i64, f64 = pa.int64(), pa.float64()
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    pkeys = pa.array(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy())
+    pref = ray.put(pkeys)
+
+    def qty_partial(t: pa.Table, *, pref) -> pa.Table:
+        keys = ray.get(pref) if isinstance(
+            pref, ray.ObjectRef) else pref
+        keep = pc.is_valid(pc.index_in(
+            t.column("l_partkey"), value_set=keys)).to_numpy(
+                zero_copy_only=False)
+        if not keep.any():
+            return pa.table({"l_partkey": pa.array([], i64),
+                             "s": pa.array([], i64),
+                             "c": pa.array([], i64)})
+        df = pd.DataFrame({
+            "l_partkey": t.column("l_partkey").to_numpy()[keep],
+            "s": np.round(t.column("l_quantity").to_numpy()[keep]
+                          ).astype(np.int64),
+            "c": np.ones(int(keep.sum()), dtype=np.int64)})
+        df = df.groupby("l_partkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=li_cols[:2])
+             .map_batches(qty_partial, fn_kwargs={"pref": pref},
+                          batch_format="pyarrow")
+             .groupby("l_partkey").sum(["s", "c"])).to_pandas()
+    if stats.empty:
+        # no brand part ever shipped: the empty groupby drops its
+        # column names, so short-circuit the second scan entirely
+        return pa.table({"avg_yearly": pa.array([0.0], f64)})
+    sref = ray.put((
+        pa.array(stats["l_partkey"].to_numpy().astype(np.int64)),
+        stats["sum(s)"].to_numpy().astype(np.int64),
+        stats["sum(c)"].to_numpy().astype(np.int64)))
+
+    def small_partial(t: pa.Table, *, sref) -> pa.Table:
+        keys, s_arr, c_arr = ray.get(sref) if isinstance(
+            sref, ray.ObjectRef) else sref
+        pos = pc.index_in(t.column("l_partkey"),
+                          value_set=keys).to_numpy(
+                              zero_copy_only=False)
+        valid = pos == pos
+        if not valid.any():
+            return pa.table({"price": pa.array([], f64)})
+        posk = pos[valid].astype(np.int64)
+        q = np.round(t.column("l_quantity").to_numpy()[valid]
+                     ).astype(np.int64)
+        keep = 5 * q * c_arr[posk] < s_arr[posk]
+        if not keep.any():
+            return pa.table({"price": pa.array([], f64)})
+        price = t.column("l_extendedprice").to_numpy()[valid][keep]
+        return pa.table({"price": pa.array(
+            [float(np.sum(price))], f64)})
+
+    total = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=li_cols)
+             .map_batches(small_partial, fn_kwargs={"sref": sref},
+                          batch_format="pyarrow").sum("price"))
+    total = total or 0.0
+    return pa.table({"avg_yearly": pa.array(
+        [round(float(total) / 7.0, 2)], f64)})
+
+
+SMALL_QUANTITY_SQL = """
+    WITH pp AS (SELECT l_partkey,
+                       CAST(SUM(l_quantity) AS BIGINT) AS s,
+                       COUNT(*) AS c
+                FROM lineitem GROUP BY l_partkey)
+    SELECT COALESCE(ROUND(SUM(l.l_extendedprice) / 7, 2), 0.0)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN pp ON pp.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{brand}'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pp.c < pp.s
+"""

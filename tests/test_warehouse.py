@@ -348,3 +348,86 @@ def test_idle_rich_customers_impossible_window():
     from pagerank_ray.pipelines.warehouse import idle_rich_customers
     got = idle_rich_customers(SF, since="1990-01-01")
     assert got.num_rows == 0
+
+
+def test_market_share_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (MARKET_SHARE_SQL,
+                                                  market_share)
+    got = market_share(SF).to_pandas().sort_values(
+        "o_year").reset_index(drop=True)
+    exp = _duck().execute(MARKET_SHARE_SQL.format(
+        supp_nation="NATION_2", region="ASIA", part_type="PROMO",
+        date_from="1995-01-01", date_to="1997-01-01")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["o_year"].tolist() == exp["o_year"].tolist()
+    assert np.allclose(got["nation_rev"], exp["nation_rev"], atol=1e-9)
+    assert np.allclose(got["total_rev"], exp["total_rev"], atol=1e-9)
+    # the share the caller derives is a genuine fraction
+    assert ((got["nation_rev"] >= 0)
+            & (got["nation_rev"] <= got["total_rev"])).all()
+
+
+def test_market_share_unknown_nation():
+    import pytest
+
+    from pagerank_ray.pipelines.warehouse import market_share
+    with pytest.raises(ValueError):
+        market_share(SF, supp_nation="NOPE")
+
+
+def test_profit_by_nation_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (PROFIT_BY_NATION_SQL,
+                                                  profit_by_nation)
+    got = profit_by_nation(SF).to_pandas().sort_values(
+        ["n_name", "o_year"]).reset_index(drop=True)
+    exp = _duck().execute(PROFIT_BY_NATION_SQL.format(
+        name_prefix="red")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["o_year"].tolist() == exp["o_year"].tolist()
+    assert np.allclose(got["profit"], exp["profit"], atol=1e-9)
+
+
+def test_profit_by_nation_no_matching_parts():
+    from pagerank_ray.pipelines.warehouse import profit_by_nation
+    got = profit_by_nation(SF, name_prefix="zz_nothing")
+    assert got.count() == 0
+
+
+def test_top_supplier_revenue_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (TOP_SUPPLIER_SQL,
+                                                  top_supplier_revenue)
+    got = top_supplier_revenue(SF).to_pandas()
+    exp = _duck().execute(TOP_SUPPLIER_SQL.format(
+        date_from="1996-01-01", date_to="1996-04-01")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["s_suppkey"].tolist() == exp["s_suppkey"].tolist()
+    assert got["s_name"].tolist() == exp["s_name"].tolist()
+    assert np.allclose(got["total_revenue"], exp["total_revenue"],
+                       atol=1e-9)
+
+
+def test_top_supplier_revenue_empty_window():
+    from pagerank_ray.pipelines.warehouse import top_supplier_revenue
+    got = top_supplier_revenue(SF, date_from="1970-01-01",
+                               date_to="1970-02-01")
+    assert got.num_rows == 0
+
+
+def test_small_quantity_revenue_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (SMALL_QUANTITY_SQL,
+                                                  small_quantity_revenue)
+    got = small_quantity_revenue(SF)
+    exp = _duck().execute(SMALL_QUANTITY_SQL.format(
+        brand="Brand#3")).df()
+    assert got.num_rows == 1
+    assert abs(got.column("avg_yearly")[0].as_py()
+               - float(exp["avg_yearly"].iloc[0])) < 1e-9
+    assert got.column("avg_yearly")[0].as_py() > 0
+
+
+def test_small_quantity_revenue_unknown_brand():
+    from pagerank_ray.pipelines.warehouse import small_quantity_revenue
+    got = small_quantity_revenue(SF, brand="Brand#none")
+    assert got.num_rows == 1
+    assert got.column("avg_yearly")[0].as_py() == 0.0
