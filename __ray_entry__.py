@@ -1072,6 +1072,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import small_quantity_revenue
         return small_quantity_revenue(sf_dir)
 
+    def q_min_cost_supplier(sf_dir):
+        """TPC-H Q2 shape (pipelines/warehouse.py:min_cost_supplier):
+        minimum-cost supplier per part within a region — exact int64
+        cents, smallest-suppkey tie-break; broadcast dimension chain,
+        shuffle-free tree argmin (lexmin_per_key), winners-only name
+        fetch."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import min_cost_supplier
+        return min_cost_supplier(sf_dir)
+
+    def q_important_parts(sf_dir):
+        """TPC-H Q11 shape (pipelines/warehouse.py:important_parts):
+        parts whose regional line value beats 1/frac_den of the
+        global total — exact int64 cents, the HAVING-vs-global-scalar
+        pattern; per-batch per-part partials, one Dataset scalar
+        total, broadcast threshold filter."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import important_parts
+        return important_parts(sf_dir)
+
+    def q_promotable_suppliers(sf_dir):
+        """TPC-H Q20 shape
+        (pipelines/warehouse.py:promotable_suppliers): suppliers with
+        a prefix-named part whose distinct-order 'availability'
+        exceeds half the year's shipped quantity — exact int64
+        2n > q test, per-batch-deduped triples bound the distinct
+        shuffle."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import promotable_suppliers
+        return promotable_suppliers(sf_dir)
+
+    def q_waiting_suppliers(sf_dir):
+        """TPC-H Q21 shape (pipelines/warehouse.py:waiting_suppliers):
+        sole-late shippers on multi-supplier orders — the double
+        EXISTS/NOT-EXISTS collapsed into one per-order (cnt,
+        late_cnt, MAX(late ? supp : -1)) groupby; partitioned
+        orders join, exact int counts."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import waiting_suppliers
+        return waiting_suppliers(sf_dir)
+
     def q_customer_order_distribution(sf_dir):
         """TPC-H Q13 shape
         (pipelines/warehouse.py:customer_order_distribution):
@@ -1254,12 +1295,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": q_customer_order_distribution,
         "small_quantity_revenue": q_small_quantity_revenue,
         "closeness_events": q_closeness_events,
-        "kcore_events": q_kcore_events,
-        "scc_events": q_scc_events,
+        # rotated in for kcore_events / scc_events /
+        # clustering_events / dedup_clusters (driver-green r4, r4,
+        # r4, r2-r4): the last four TPC-H shapes — Q2, Q11, Q20, Q21
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "promotable_suppliers": q_promotable_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
         # rotated in for triangles_events and
         # label_propagation_events (driver-green r1-r4)
         "late_line_priority_counts": q_late_line_priority_counts,
-        "clustering_events": q_clustering_events,
         "hits_events": q_hits_events,
         "edge_support_events": q_edge_support_events,
         "ktruss_events": q_ktruss_events,
@@ -1294,7 +1339,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": q_supplier_part_counts,
         "idle_rich_customers": q_idle_rich_customers,
         "media_features": q_media_features,
-        "dedup_clusters": q_dedup_clusters,
         "knn_ivf": q_knn_ivf,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_collocations": q_bigram_collocations,
@@ -1371,6 +1415,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # rotated out (driver-green r4 / r4 / r4 / r2-r4) for the
+        # last four TPC-H shapes (min_cost_supplier, important_parts,
+        # promotable_suppliers, waiting_suppliers)
+        "kcore_events": q_kcore_events,
+        "scc_events": q_scc_events,
+        "clustering_events": q_clustering_events,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1706,9 +1757,13 @@ def oracle_sql() -> dict[str, str]:
                                                   CUSTOMER_ORDER_DIST_SQL,
                                                   DISJUNCTIVE_REVENUE_SQL,
                                                   IDLE_RICH_CUSTOMERS_SQL,
+                                                  IMPORTANT_PARTS_SQL,
                                                   LARGE_VOLUME_SQL,
                                                   LATE_LINE_PRIORITY_SQL,
                                                   MARKET_SHARE_SQL,
+                                                  MIN_COST_SUPPLIER_SQL,
+                                                  PROMOTABLE_SUPPLIERS_SQL,
+                                                  WAITING_SUPPLIERS_SQL,
                                                   NATION_PAIR_VOLUME_SQL,
                                                   ORDER_PRIORITY_SQL,
                                                   PRICING_SUMMARY_SQL,
@@ -1893,6 +1948,22 @@ def oracle_sql() -> dict[str, str]:
         # (5*q*cnt < sum)
         "small_quantity_revenue": SMALL_QUANTITY_SQL.format(
             brand="Brand#3"),
+        # Q2 shape: the correlated MIN subquery replays as a window
+        # row_number with the same (cost, suppkey) tie-break; exact
+        # int64 cents
+        "min_cost_supplier": MIN_COST_SUPPLIER_SQL.format(
+            region="ASIA", part_type="STANDARD", max_size=25, k=100),
+        # Q11 shape: the global-fraction HAVING replays exact in
+        # BIGINT (value*frac_den > total)
+        "important_parts": IMPORTANT_PARTS_SQL.format(
+            region="EUROPE", frac_den=1000),
+        # Q20 shape: nested IN + correlated aggregate; 2n > q exact
+        "promotable_suppliers": PROMOTABLE_SUPPLIERS_SQL.format(
+            region="AMERICA", name_prefix="large",
+            lo="1996-01-01", hi="1997-01-01"),
+        # Q21 shape: EXISTS/NOT-EXISTS as per-order sufficient stats
+        "waiting_suppliers": WAITING_SUPPLIERS_SQL.format(
+            region="ASIA", late_days=30, k=25),
         # Q13 shape: left join realizes the engine's count-arithmetic
         # zero bucket; exact int histogram
         "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,

@@ -2163,3 +2163,537 @@ SMALL_QUANTITY_SQL = """
     WHERE p.p_brand = '{brand}'
       AND 5 * CAST(l.l_quantity AS BIGINT) * pp.c < pp.s
 """
+
+
+# ---------------------------------------- Q2 / Q11 / Q20 / Q21 shapes
+
+
+def _region_suppliers(sf_dir: str, region: str) -> pd.DataFrame:
+    """(s_suppkey, s_name, n_name) for suppliers whose nation sits in
+    ``region`` — the region/nation/supplier dimension chain is tiny
+    at any scale (25 nations, 5 regions; suppliers are the largest
+    leg and still broadcastable at TPC-H SF100k). Raises ValueError
+    on an unknown region (the market_share discipline)."""
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    if region not in set(reg["r_name"]):
+        raise ValueError(f"unknown region {region!r}")
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nat = nat[nat["n_regionkey"] == rkey]
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    return supp.merge(nat, left_on="s_nationkey",
+                      right_on="n_nationkey")[
+                          ["s_suppkey", "s_name", "n_name"]]
+
+
+def _cents(a: np.ndarray) -> np.ndarray:
+    """Exact int64 cents for prices on the 2dp grid (np.rint ==
+    DuckDB ROUND here: the inputs are 2dp-exact, so x*100 sits within
+    float ulp of an integer and never on a .5 boundary)."""
+    return np.rint(a * 100.0).astype(np.int64)
+
+
+def min_cost_supplier(sf_dir: str, region: str = "ASIA",
+                      part_type: str = "STANDARD",
+                      max_size: int = 25, k: int = 100) -> pa.Table:
+    """TPC-H Q2 shape: for each part of one type and bounded size,
+    the minimum-cost supplier within a region — the sandbox has no
+    partsupp, so supply cost stands in as MIN over lineitem rows of
+    the line price in exact int64 cents (cf. reference Q2's
+    MIN(ps_supplycost) correlated subquery). Cost ties break to the
+    smallest s_suppkey. Returns top-k rows (p_partkey, cost_cents,
+    s_suppkey, s_name, n_name) by (cost_cents ASC, p_partkey ASC) —
+    one row per part, so the order is total and the LIMIT exact.
+
+    Scale shape: region/nation/supplier broadcast via ray.put (tiny
+    dimension chain); the part filter broadcasts keys the same way
+    (flip to a partitioned hash join at TPC-H scale — the
+    revenue_by_nation note); the lineitem scan filters both sides
+    per batch and the per-part argmin runs through
+    ``lexmin_per_key`` (tree combine, no hash shuffle; exact
+    shuffle fallback past the one-block bound), so the correlated
+    MIN-subquery never materializes a (part, supplier) cost table
+    on the driver. Only the ≤ k winners fetch names."""
+    from ..graph.walks import lexmin_per_key
+    from ..stages.join import default_join_partitions
+
+    i64, s = pa.int64(), pa.string()
+    rs = _region_suppliers(sf_dir, region)
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_type"] == part_type)
+                & (part["p_size"] <= max_size)]
+    bref = ray.put((pa.array(part["p_partkey"].to_numpy()),
+                    pa.array(rs["s_suppkey"].to_numpy())))
+
+    empty = pa.table({"key": pa.array([], i64),
+                      "a": pa.array([], i64),
+                      "b": pa.array([], i64)})
+
+    def li_rows(t: pa.Table, *, bref) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        pk, sk = ray.get(bref) if isinstance(
+            bref, ray.ObjectRef) else bref
+        keep = (pc.is_valid(pc.index_in(t.column("l_partkey"),
+                                        value_set=pk))
+                .to_numpy(zero_copy_only=False)
+                & pc.is_valid(pc.index_in(t.column("l_suppkey"),
+                                          value_set=sk))
+                .to_numpy(zero_copy_only=False))
+        if not keep.any():
+            return empty
+        return pa.table({
+            "key": pa.array(
+                t.column("l_partkey").to_numpy()[keep], i64),
+            "a": pa.array(_cents(
+                t.column("l_extendedprice").to_numpy()[keep]), i64),
+            "b": pa.array(
+                t.column("l_suppkey").to_numpy()[keep], i64)})
+
+    rows = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(li_rows, fn_kwargs={"bref": bref},
+                  batch_format="pyarrow")
+
+    # per part: lexmin of (cost_cents, suppkey) — MIN(cost) with the
+    # smallest-supplier tie-break, computed shuffle-free
+    win = lexmin_per_key(rows, default_join_partitions())
+    top = (win.sort(["a", "key"]).limit(k).to_pandas())
+    out_cols = {"p_partkey": pa.array([], i64),
+                "cost_cents": pa.array([], i64),
+                "s_suppkey": pa.array([], i64),
+                "s_name": pa.array([], s),
+                "n_name": pa.array([], s)}
+    if top.empty:
+        return pa.table(out_cols)
+    names = rs.set_index("s_suppkey")
+    supp = top["b"].to_numpy()
+    return pa.table({
+        "p_partkey": pa.array(top["key"].to_numpy(), i64),
+        "cost_cents": pa.array(top["a"].to_numpy(), i64),
+        "s_suppkey": pa.array(supp, i64),
+        "s_name": pa.array(names.loc[supp, "s_name"].to_numpy(), s),
+        "n_name": pa.array(names.loc[supp, "n_name"].to_numpy(), s)})
+
+
+MIN_COST_SUPPLIER_SQL = """
+    WITH rs AS (SELECT s_suppkey, s_name, n_name
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = '{region}'),
+         cost AS (SELECT l.l_partkey, l.l_suppkey,
+                         MIN(CAST(ROUND(l.l_extendedprice * 100)
+                                  AS BIGINT)) AS cost_cents
+                  FROM lineitem l
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  JOIN rs ON rs.s_suppkey = l.l_suppkey
+                  WHERE p.p_type = '{part_type}'
+                    AND p.p_size <= {max_size}
+                  GROUP BY 1, 2),
+         win AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY l_partkey
+                     ORDER BY cost_cents, l_suppkey) AS rn
+                 FROM cost)
+    SELECT w.l_partkey AS p_partkey, w.cost_cents,
+           rs.s_suppkey, rs.s_name, rs.n_name
+    FROM win w JOIN rs ON rs.s_suppkey = w.l_suppkey
+    WHERE w.rn = 1
+    ORDER BY w.cost_cents, p_partkey
+    LIMIT {k}
+"""
+
+
+def important_parts(sf_dir: str, region: str = "EUROPE",
+                    frac_den: int = 1000):
+    """TPC-H Q11 shape: parts whose total line value (exact int64
+    cents) from suppliers in one region exceeds 1/frac_den of the
+    global total — the 'important stock' HAVING-vs-global-scalar
+    pattern (reference Q11's ps_supplycost*ps_availqty stands in as
+    the summed line price; the FRACTION comparison runs EXACT:
+    value_cents * frac_den > total_cents, all int64). Returns a
+    Dataset (l_partkey, value_cents) ordered by
+    (value_cents DESC, l_partkey ASC).
+
+    Scale shape: the region supplier key set broadcasts; per-batch
+    per-part partials bound the shuffle to one row per (part, batch);
+    the global total is ONE Dataset scalar aggregate over the
+    O(parts) grouped result; the threshold broadcasts back into a
+    vectorized filter map — the value table never lands on the
+    driver."""
+    i64 = pa.int64()
+    rs = _region_suppliers(sf_dir, region)
+    skref = ray.put(pa.array(rs["s_suppkey"].to_numpy()))
+
+    def li_partial(t: pa.Table, *, skref) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], i64),
+                          "v": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        sk = ray.get(skref) if isinstance(
+            skref, ray.ObjectRef) else skref
+        keep = pc.is_valid(pc.index_in(
+            t.column("l_suppkey"), value_set=sk)).to_numpy(
+                zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = (pd.DataFrame({
+                "l_partkey": t.column("l_partkey").to_numpy()[keep],
+                "v": _cents(t.column("l_extendedprice")
+                            .to_numpy()[keep])})
+              .groupby("l_partkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vals = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_partial, fn_kwargs={"skref": skref},
+                     batch_format="pyarrow")
+        .groupby("l_partkey").sum("v").materialize())
+    total = vals.sum("sum(v)") or 0
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], i64),
+                             "value_cents": pa.array([], i64)})
+        v = t.column("sum(v)").to_numpy(zero_copy_only=False)
+        keep = v * frac_den > int(total)
+        return pa.table({
+            "l_partkey": pa.array(
+                t.column("l_partkey").to_numpy(
+                    zero_copy_only=False)[keep], i64),
+            "value_cents": pa.array(v[keep], i64)})
+
+    return (vals.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .sort(["value_cents", "l_partkey"],
+                  descending=[True, False]))
+
+
+IMPORTANT_PARTS_SQL = """
+    WITH rs AS (SELECT s_suppkey FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = '{region}'),
+         v AS (SELECT l.l_partkey,
+                      SUM(CAST(ROUND(l.l_extendedprice * 100)
+                               AS BIGINT)) AS value_cents
+               FROM lineitem l
+               JOIN rs ON rs.s_suppkey = l.l_suppkey
+               GROUP BY 1)
+    SELECT l_partkey, value_cents FROM v
+    WHERE value_cents * {frac_den} > (SELECT SUM(value_cents) FROM v)
+    ORDER BY value_cents DESC, l_partkey
+"""
+
+
+def promotable_suppliers(sf_dir: str, name_prefix: str = "large",
+                         region: str = "AMERICA",
+                         year: int = 1996) -> pa.Table:
+    """TPC-H Q20 shape: suppliers in one region having some
+    prefix-named part whose 'available quantity' exceeds half the
+    quantity they shipped of it in one year — the nested
+    IN-with-correlated-aggregate chain. The sandbox has no
+    ps_availqty, so availability stands in as the number of DISTINCT
+    orders the (part, supplier) pair appears in (all time); the
+    test 2*norders > sum_qty(year) runs EXACT in int64 (quantities
+    are integral, the small_quantity_revenue discipline). Returns
+    (s_suppkey, s_name) ordered by s_suppkey.
+
+    Scale shape: part keys and region supplier keys broadcast; the
+    lineitem scan emits PER-BATCH-DEDUPED (part, supp, order) rows
+    carrying the in-window qty partial (the supplier_part_counts
+    distinct discipline), so the first groupby dedupes triples
+    globally, the second reduces to one row per (part, supp), and
+    the qualifying-supplier projection is O(pairs) — no driver
+    materialization before the final DISTINCT supplier set (bounded
+    by the region's supplier count)."""
+    i64, s = pa.int64(), pa.string()
+    lo = _ts_us(f"{year}-01-01")
+    hi = _ts_us(f"{year + 1}-01-01")
+    rs = _region_suppliers(sf_dir, region)
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"]
+                           ).to_pandas()
+    part = part[part["p_name"].str.startswith(name_prefix)]
+    bref = ray.put((pa.array(part["p_partkey"].to_numpy()),
+                    pa.array(rs["s_suppkey"].to_numpy())))
+
+    empty = pa.table({"l_partkey": pa.array([], i64),
+                      "l_suppkey": pa.array([], i64),
+                      "l_orderkey": pa.array([], i64),
+                      "q": pa.array([], i64)})
+
+    def li_triples(t: pa.Table, *, bref) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        pk, sk = ray.get(bref) if isinstance(
+            bref, ray.ObjectRef) else bref
+        keep = (pc.is_valid(pc.index_in(t.column("l_partkey"),
+                                        value_set=pk))
+                .to_numpy(zero_copy_only=False)
+                & pc.is_valid(pc.index_in(t.column("l_suppkey"),
+                                          value_set=sk))
+                .to_numpy(zero_copy_only=False))
+        if not keep.any():
+            return empty
+        ship = t.column("l_shipdate").cast(i64).to_numpy()[keep]
+        qty = np.rint(t.column("l_quantity").to_numpy()[keep]
+                      ).astype(np.int64)
+        qty[(ship < lo) | (ship >= hi)] = 0
+        df = (pd.DataFrame({
+                "l_partkey": t.column("l_partkey").to_numpy()[keep],
+                "l_suppkey": t.column("l_suppkey").to_numpy()[keep],
+                "l_orderkey": t.column("l_orderkey").to_numpy()[keep],
+                "q": qty})
+              .groupby(["l_partkey", "l_suppkey", "l_orderkey"],
+                       sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    triples = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_orderkey",
+                 "l_quantity", "l_shipdate"])
+        .map_batches(li_triples, fn_kwargs={"bref": bref},
+                     batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey", "l_orderkey"]).sum("q"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], i64),
+                             "n": pa.array([], i64),
+                             "q": pa.array([], i64)})
+        df = (pd.DataFrame({
+                "l_partkey": t.column("l_partkey")
+                .to_numpy(zero_copy_only=False),
+                "l_suppkey": t.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+                "n": 1,
+                "q": t.column("sum(q)")
+                .to_numpy(zero_copy_only=False)})
+              .groupby(["l_partkey", "l_suppkey"], sort=False)
+              .sum().reset_index())
+        return pa.table({
+            "l_partkey": pa.array(df["l_partkey"].to_numpy(), i64),
+            "l_suppkey": pa.array(df["l_suppkey"].to_numpy(), i64),
+            "n": pa.array(df["n"].to_numpy().astype(np.int64), i64),
+            "q": pa.array(df["q"].to_numpy(), i64)})
+
+    pairs = (triples.map_batches(pair_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+             .groupby(["l_partkey", "l_suppkey"])
+             .aggregate(rd.aggregate.Sum("n", alias_name="norders"),
+                        rd.aggregate.Sum("q", alias_name="sumqty")))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], i64)})
+        n = t.column("norders").to_numpy(zero_copy_only=False)
+        q = t.column("sumqty").to_numpy(zero_copy_only=False)
+        keep = 2 * n > q
+        return pa.table({"l_suppkey": pa.array(
+            t.column("l_suppkey").to_numpy(
+                zero_copy_only=False)[keep], i64)})
+
+    winners = (pairs.map_batches(qualify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("l_suppkey").count().to_pandas())
+    if winners.empty:
+        return pa.table({"s_suppkey": pa.array([], i64),
+                         "s_name": pa.array([], s)})
+    names = rs.set_index("s_suppkey")
+    sk = np.sort(winners["l_suppkey"].to_numpy())
+    return pa.table({
+        "s_suppkey": pa.array(sk, i64),
+        "s_name": pa.array(names.loc[sk, "s_name"].to_numpy(), s)})
+
+
+PROMOTABLE_SUPPLIERS_SQL = """
+    WITH rs AS (SELECT s_suppkey, s_name FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = '{region}'),
+         pf AS (SELECT p_partkey FROM part
+                WHERE p_name LIKE '{name_prefix}%'),
+         ps AS (SELECT l.l_partkey, l.l_suppkey,
+                       COUNT(DISTINCT l.l_orderkey) AS norders,
+                       CAST(SUM(CASE WHEN
+                                l.l_shipdate >= TIMESTAMP '{lo}'
+                                AND l.l_shipdate < TIMESTAMP '{hi}'
+                                THEN l.l_quantity ELSE 0 END)
+                            AS BIGINT) AS sumqty
+                FROM lineitem l
+                JOIN pf ON pf.p_partkey = l.l_partkey
+                JOIN rs ON rs.s_suppkey = l.l_suppkey
+                GROUP BY 1, 2)
+    SELECT DISTINCT rs.s_suppkey, rs.s_name
+    FROM ps JOIN rs ON rs.s_suppkey = ps.l_suppkey
+    WHERE 2 * ps.norders > ps.sumqty
+    ORDER BY rs.s_suppkey
+"""
+
+
+def waiting_suppliers(sf_dir: str, region: str = "ASIA",
+                      late_days: int = 30, k: int = 25) -> pa.Table:
+    """TPC-H Q21 shape: suppliers in one region who were the SOLE
+    late shipper on multi-supplier orders — the
+    EXISTS(other supplier) AND NOT EXISTS(other late supplier)
+    double-correlation, reduced to exact per-order sufficient
+    statistics. 'Late' stands in as MAX(l_shipdate) per (order,
+    supplier) exceeding o_orderdate + late_days (the
+    order_priority_counts stand-in; the sandbox has no
+    receipt/commit dates). Returns top-k (s_suppkey, s_name,
+    numwait) by (numwait DESC, s_suppkey ASC).
+
+    Scale shape: per-batch (order, supplier) max-shipdate partials
+    bound the first shuffle to one row per pair per batch; the
+    orders join is partitioned (both sides big); the per-order
+    EXISTS/NOT-EXISTS pair collapses into one groupby carrying
+    (supplier_cnt, late_cnt, MAX(late ? suppkey : -1)) — the sole
+    late supplier is recoverable exactly when late_cnt == 1, so no
+    self-join back onto the pair table; the final per-supplier
+    count is O(qualifying orders)."""
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64, s = pa.int64(), pa.string()
+    rs = _region_suppliers(sf_dir, region)
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def ps_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "l_suppkey": pa.array([], i64),
+                             "mx": pa.array([], i64)})
+        df = (pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "l_suppkey": t.column("l_suppkey").to_numpy(),
+                "mx": t.column("l_shipdate").cast(i64).to_numpy()})
+              .groupby(["l_orderkey", "l_suppkey"], sort=False)
+              .max().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ps = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(ps_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_suppkey"]).max("mx"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "odate": t.column("o_orderdate").cast(i64)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    nparts = default_join_partitions()
+    j = hash_join(ps.repartition(nparts), orders,
+                  on=("l_orderkey",), right_on=("o_orderkey",),
+                  left_schema=[("l_orderkey", i64),
+                               ("l_suppkey", i64), ("max(mx)", i64)],
+                  right_schema=[("o_orderkey", i64), ("odate", i64)])
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], i64),
+                             "c": pa.array([], i64),
+                             "cl": pa.array([], i64),
+                             "ls": pa.array([], i64)})
+        okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        late = (t.column("max(mx)").to_numpy(zero_copy_only=False)
+                > t.column("odate").to_numpy(zero_copy_only=False)
+                + late_us)
+        df = (pd.DataFrame({
+                "l_orderkey": okey, "c": 1,
+                "cl": late.astype(np.int64),
+                "ls": np.where(late, supp, -1)})
+              .groupby("l_orderkey", sort=False)
+              .agg(c=("c", "sum"), cl=("cl", "sum"), ls=("ls", "max"))
+              .reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(df["l_orderkey"].to_numpy(), i64),
+            "c": pa.array(df["c"].to_numpy().astype(np.int64), i64),
+            "cl": pa.array(df["cl"].to_numpy().astype(np.int64), i64),
+            "ls": pa.array(df["ls"].to_numpy().astype(np.int64), i64)})
+
+    agg = (j.map_batches(order_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("l_orderkey")
+           .aggregate(rd.aggregate.Sum("c", alias_name="c"),
+                      rd.aggregate.Sum("cl", alias_name="cl"),
+                      rd.aggregate.Max("ls", alias_name="ls")))
+
+    skref = ray.put(pa.array(rs["s_suppkey"].to_numpy()))
+
+    def wait_partial(t: pa.Table, *, skref) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], i64),
+                          "w": pa.array([], i64)})
+        if t.num_rows == 0:
+            return empty
+        sk = ray.get(skref) if isinstance(
+            skref, ray.ObjectRef) else skref
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        cl = t.column("cl").to_numpy(zero_copy_only=False)
+        ls = t.column("ls").to_numpy(zero_copy_only=False)
+        keep = (c >= 2) & (cl == 1)
+        keep &= pc.is_valid(pc.index_in(
+            pa.array(ls, i64), value_set=sk)).to_numpy(
+                zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = (pd.DataFrame({"s_suppkey": ls[keep], "w": 1})
+              .groupby("s_suppkey", sort=False).sum().reset_index())
+        return pa.table({
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(), i64),
+            "w": pa.array(df["w"].to_numpy().astype(np.int64), i64)})
+
+    top = (agg.map_batches(wait_partial, fn_kwargs={"skref": skref},
+                           batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("s_suppkey").sum("w")
+           .sort(["sum(w)", "s_suppkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    if top.empty:
+        return pa.table({"s_suppkey": pa.array([], i64),
+                         "s_name": pa.array([], s),
+                         "numwait": pa.array([], i64)})
+    names = rs.set_index("s_suppkey")
+    sk = top["s_suppkey"].to_numpy()
+    return pa.table({
+        "s_suppkey": pa.array(sk, i64),
+        "s_name": pa.array(names.loc[sk, "s_name"].to_numpy(), s),
+        "numwait": pa.array(top["sum(w)"].to_numpy(), i64)})
+
+
+WAITING_SUPPLIERS_SQL = """
+    WITH ps AS (SELECT l_orderkey, l_suppkey,
+                       MAX(l_shipdate) AS mx
+                FROM lineitem GROUP BY 1, 2),
+         j AS (SELECT ps.l_orderkey, ps.l_suppkey,
+                      CASE WHEN ps.mx > o.o_orderdate
+                               + INTERVAL {late_days} DAY
+                           THEN 1 ELSE 0 END AS late
+               FROM ps JOIN orders o
+                 ON o.o_orderkey = ps.l_orderkey),
+         agg AS (SELECT l_orderkey, COUNT(*) AS c, SUM(late) AS cl,
+                        MAX(CASE WHEN late = 1 THEN l_suppkey END)
+                            AS ls
+                 FROM j GROUP BY 1),
+         rs AS (SELECT s_suppkey, s_name FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = '{region}')
+    SELECT rs.s_suppkey, rs.s_name, COUNT(*) AS numwait
+    FROM agg JOIN rs ON rs.s_suppkey = agg.ls
+    WHERE agg.c >= 2 AND agg.cl = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, rs.s_suppkey
+    LIMIT {k}
+"""

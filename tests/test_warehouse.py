@@ -431,3 +431,154 @@ def test_small_quantity_revenue_unknown_brand():
     got = small_quantity_revenue(SF, brand="Brand#none")
     assert got.num_rows == 1
     assert got.column("avg_yearly")[0].as_py() == 0.0
+
+
+def test_min_cost_supplier_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (MIN_COST_SUPPLIER_SQL,
+                                                  min_cost_supplier)
+    got = min_cost_supplier(SF).to_pandas()
+    exp = _duck(tables=("region", "nation", "supplier", "part",
+                        "lineitem")).execute(
+        MIN_COST_SUPPLIER_SQL.format(
+            region="ASIA", part_type="STANDARD",
+            max_size=25, k=100)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("p_partkey", "cost_cents", "s_suppkey"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    for c in ("s_name", "n_name"):
+        assert got[c].tolist() == exp[c].tolist()
+    # one row per part (the argmin is per-part)
+    assert got["p_partkey"].is_unique
+
+
+def test_min_cost_supplier_tiebreak_smallest_suppkey():
+    # two suppliers with the same min cost on a part -> smallest wins
+    from pagerank_ray.pipelines.warehouse import min_cost_supplier
+    import duckdb
+    con = _duck(tables=("region", "nation", "supplier", "part",
+                        "lineitem"))
+    got = min_cost_supplier(SF).to_pandas()
+    for _, r in got.head(5).iterrows():
+        mn = con.execute(f"""
+            SELECT MIN(l_suppkey) FROM lineitem
+            WHERE l_partkey = {int(r.p_partkey)}
+              AND CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                  = {int(r.cost_cents)}
+              AND l_suppkey IN (
+                  SELECT s_suppkey FROM supplier s
+                  JOIN nation n ON n.n_nationkey = s.s_nationkey
+                  JOIN region reg ON reg.r_regionkey = n.n_regionkey
+                  WHERE reg.r_name = 'ASIA')""").fetchone()[0]
+        assert int(r.s_suppkey) == int(mn)
+
+
+def test_min_cost_supplier_unknown_region():
+    import pytest
+
+    from pagerank_ray.pipelines.warehouse import min_cost_supplier
+    with pytest.raises(ValueError):
+        min_cost_supplier(SF, region="NOPE")
+
+
+def test_important_parts_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (IMPORTANT_PARTS_SQL,
+                                                  important_parts)
+    got = important_parts(SF).to_pandas()
+    exp = _duck(tables=("region", "nation", "supplier", "lineitem")
+                ).execute(IMPORTANT_PARTS_SQL.format(
+                    region="EUROPE", frac_den=1000)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["l_partkey"].to_numpy()
+            == exp["l_partkey"].to_numpy()).all()
+    assert (got["value_cents"].to_numpy()
+            == exp["value_cents"].to_numpy()).all()
+
+
+def test_important_parts_strict_fraction_filters():
+    # a strict enough fraction keeps only the top parts; exactness
+    # of the integer comparison means no boundary flapping
+    from pagerank_ray.pipelines.warehouse import important_parts
+    all_parts = important_parts(SF, frac_den=10**9).to_pandas()
+    few = important_parts(SF, frac_den=150).to_pandas()
+    assert 0 < len(few) < len(all_parts)
+    assert set(few["l_partkey"]) <= set(all_parts["l_partkey"])
+    # an impossible fraction keeps nobody (and stays typed-empty)
+    assert important_parts(SF, frac_den=1).count() == 0
+
+
+def test_promotable_suppliers_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (
+        PROMOTABLE_SUPPLIERS_SQL, promotable_suppliers)
+    got = promotable_suppliers(SF).to_pandas()
+    exp = _duck(tables=("region", "nation", "supplier", "part",
+                        "lineitem")).execute(
+        PROMOTABLE_SUPPLIERS_SQL.format(
+            region="AMERICA", name_prefix="large",
+            lo="1996-01-01", hi="1997-01-01")).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["s_suppkey"].to_numpy()
+            == exp["s_suppkey"].to_numpy()).all()
+    assert got["s_name"].tolist() == exp["s_name"].tolist()
+
+
+def test_promotable_suppliers_no_matching_parts():
+    from pagerank_ray.pipelines.warehouse import promotable_suppliers
+    got = promotable_suppliers(SF, name_prefix="zz_nothing")
+    assert got.num_rows == 0
+
+
+def test_waiting_suppliers_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (WAITING_SUPPLIERS_SQL,
+                                                  waiting_suppliers)
+    got = waiting_suppliers(SF).to_pandas()
+    exp = _duck(tables=("region", "nation", "supplier", "orders",
+                        "lineitem")).execute(
+        WAITING_SUPPLIERS_SQL.format(
+            region="ASIA", late_days=30, k=25)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["s_suppkey"].to_numpy()
+            == exp["s_suppkey"].to_numpy()).all()
+    assert (got["numwait"].to_numpy()
+            == exp["numwait"].to_numpy()).all()
+
+
+def test_waiting_suppliers_sole_late_semantics(tmp_path):
+    # synthetic: order 1 has suppliers 10 (late) and 11 (on time)
+    # -> supplier 10 waits; order 2 has both late -> nobody; order 3
+    # single-supplier late -> nobody (needs >= 2 suppliers)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wh"
+    d.mkdir()
+    ts = pd.Timestamp
+    pq.write_table(pa.table({
+        "l_orderkey": [1, 1, 2, 2, 3],
+        "l_suppkey": [10, 11, 10, 11, 10],
+        "l_shipdate": [ts("1996-06-01"), ts("1996-01-02"),
+                       ts("1996-06-01"), ts("1996-06-01"),
+                       ts("1996-06-01")],
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": [ts("1996-01-01")] * 3,
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": [10, 11],
+        "s_name": ["S10", "S11"],
+        "s_nationkey": pa.array([0, 0], pa.int32()),
+    }), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+        "n_name": ["N0"],
+        "n_regionkey": pa.array([0], pa.int32()),
+    }), d / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": ["R0"],
+    }), d / "region.parquet")
+
+    from pagerank_ray.pipelines.warehouse import waiting_suppliers
+    got = waiting_suppliers(str(d), region="R0").to_pandas()
+    assert got["s_suppkey"].tolist() == [10]
+    assert got["numwait"].tolist() == [1]
