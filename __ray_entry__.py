@@ -861,6 +861,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return outlier_events(sf_dir, q=0.9)
 
+    def q_peak_concurrency(sf_dir):
+        """Sweep-line max-overlap per event type
+        (pipelines/relational.py:peak_concurrency): one boundary map,
+        one Dataset sort, per-block (sum, max-prefix) partials via
+        cumsum + reduceat, O(blocks x types) driver stitch. Exact
+        int64."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import peak_concurrency
+        return peak_concurrency(sf_dir)
+
     def q_props_key_stats(sf_dir):
         """Semi-structured: RE2 JSON-field extraction from the props
         string column + per-type integer stats."""
@@ -1321,6 +1331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_event_type_per_user": q_modal_event_type_per_user,
         "props_key_stats": q_props_key_stats,
         "outlier_events": q_outlier_events,
+        # rotated in for knn_ivf (rows-only by design, sanctioned
+        # no_oracle driver rows r1-r4; pytest exactness gate stands)
+        "peak_concurrency": q_peak_concurrency,
         "funnel_events": q_funnel_events,
         "retention_cohorts": q_retention_cohorts,
         "transition_counts": q_transition_counts,
@@ -1339,7 +1352,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": q_supplier_part_counts,
         "idle_rich_customers": q_idle_rich_customers,
         "media_features": q_media_features,
-        "knn_ivf": q_knn_ivf,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_collocations": q_bigram_collocations,
         "cooccurrence_terms": q_cooccurrence_terms,
@@ -1422,6 +1434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_events": q_scc_events,
         "clustering_events": q_clustering_events,
         "dedup_clusters": q_dedup_clusters,
+        # rotated out (rows-only by design, sanctioned no_oracle
+        # driver rows r1-r4) for peak_concurrency
+        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -1749,7 +1764,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, AUDIENCE_OVERLAP_SQL, BROADCAST_JOIN_SQL,
         DISTINCT_USERS_SQL, RETENTION_SQL,
-        MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PROPS_KEY_STATS_SQL,
+        MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PEAK_CONCURRENCY_SQL,
+        PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
         WINDOWED_EVENT_AGG_SQL)
@@ -1898,6 +1914,11 @@ def oracle_sql() -> dict[str, str]:
         "modal_event_type_per_user": MODAL_TYPE_SQL,
         "props_key_stats": PROPS_KEY_STATS_SQL,
         "outlier_events": OUTLIER_EVENTS_SQL.format(q=0.9),
+        # sweep-line max-overlap replays as a window prefix sum; the
+        # (t, d) ORDER puts closings before openings at equal
+        # instants (half-open intervals), matching the engine's sort
+        "peak_concurrency": PEAK_CONCURRENCY_SQL.format(
+            window_minutes=30),
 
         # funnel: exists-before reduces to min(a) < max(b) per user;
         # windowed, exact int counts

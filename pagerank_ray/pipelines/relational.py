@@ -1164,3 +1164,108 @@ AUDIENCE_OVERLAP_SQL = """
            JOIN c cb ON cb.event_type = p.type_b
     ORDER BY p.type_a, p.type_b
 """
+
+
+@ray.remote
+def _block_sweep_partial(block: pa.Table):
+    """Per-block sweep-line partial for peak_concurrency: the block
+    is a globally-ordered slice of (event_type, t, d) boundary rows;
+    each event type occupies one contiguous run. Returns one
+    (event_type, local_sum, local_max) row per run — the two
+    sufficient statistics that let the driver stitch exact per-type
+    running maxima across blocks in O(blocks x types)."""
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "local_sum": pa.array([], pa.int64()),
+                      "local_max": pa.array([], pa.int64())})
+    if block.num_rows == 0:
+        return empty
+    et = block.column("event_type").to_numpy(zero_copy_only=False)
+    d = block.column("d").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(d)
+    change = np.flatnonzero(et[1:] != et[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(d)]])
+    base = np.where(starts > 0, cum[starts - 1], 0)
+    runmax = np.maximum.reduceat(cum, starts)
+    return pa.table({
+        "event_type": pa.array(et[starts], pa.string()),
+        "local_sum": pa.array(cum[ends - 1] - base, pa.int64()),
+        "local_max": pa.array(runmax - base, pa.int64())})
+
+
+def peak_concurrency(sf_dir: str,
+                     window_minutes: int = 30) -> pa.Table:
+    """Max concurrent sessions per event type: each event opens a
+    half-open interval [ts, ts + window); the answer is the maximum
+    number of simultaneously open intervals — the classic sweep-line
+    max-overlap, run distributed. Returns (event_type,
+    max_concurrent), exact int64, ordered by event_type.
+
+    Scale shape: ONE map emits the +1/-1 boundary rows; ONE Dataset
+    sort by (event_type, t, d) range-partitions them into globally
+    ordered blocks (d ascending puts closings before openings at
+    equal instants — the half-open semantics); per block a remote
+    task reduces each type's contiguous run to (sum, max-prefix) —
+    np.cumsum + reduceat, no Python loop — and the driver stitches
+    the O(blocks x types) partials with a running carry, the
+    edges_from_events boundary discipline. Nothing row-scale ever
+    reaches the driver, and the prefix sums never re-shuffle."""
+    win_us = np.int64(window_minutes) * 60_000_000
+    i64, s = pa.int64(), pa.string()
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], s),
+                             "t": pa.array([], i64),
+                             "d": pa.array([], i64)})
+        ts = t.column("ts").cast(i64).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(np.concatenate([et, et]), s),
+            "t": pa.array(np.concatenate([ts, ts + win_us]), i64),
+            "d": pa.array(np.concatenate(
+                [np.ones(len(ts), np.int64),
+                 -np.ones(len(ts), np.int64)]), i64)})
+
+    sorted_ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts", "event_type"])
+                 .map_batches(boundaries, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .sort(["event_type", "t", "d"]).materialize())
+    block_refs = [ref for bundle in
+                  sorted_ds.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+    partials = ray.get([_block_sweep_partial.remote(b)
+                        for b in block_refs])
+
+    carry: dict[str, int] = {}
+    peak: dict[str, int] = {}
+    for tbl in partials:  # blocks arrive in global sort order
+        for et, ls, lm in zip(
+                tbl.column("event_type").to_pylist(),
+                tbl.column("local_sum").to_pylist(),
+                tbl.column("local_max").to_pylist()):
+            c = carry.get(et, 0)
+            peak[et] = max(peak.get(et, -2**63), c + lm)
+            carry[et] = c + ls
+    types = sorted(peak)
+    return pa.table({
+        "event_type": pa.array(types, s),
+        "max_concurrent": pa.array([peak[t] for t in types], i64)})
+
+
+PEAK_CONCURRENCY_SQL = """
+    WITH b AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL {window_minutes} MINUTE,
+               -1 AS d
+        FROM events),
+    p AS (SELECT event_type,
+                 SUM(d) OVER (PARTITION BY event_type
+                              ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS c
+          FROM b)
+    SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM p GROUP BY 1 ORDER BY 1
+"""

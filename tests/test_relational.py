@@ -2,6 +2,7 @@
 driver contract; these check semantics directly)."""
 
 import numpy as np
+import pandas as pd
 
 from pagerank_ray.pipelines.relational import (asof_join_events_orders,
                                                broadcast_join_orders_customer,
@@ -413,3 +414,66 @@ def test_audience_overlap_matches_duckdb_and_brute():
     assert r.n_common == len(sets[r.type_a] & sets[r.type_b])
     assert r.n_union == len(sets[r.type_a] | sets[r.type_b])
     assert (got.n_common <= got.n_union).all()
+
+
+def test_peak_concurrency_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (PEAK_CONCURRENCY_SQL,
+                                                   peak_concurrency)
+    got = peak_concurrency(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(PEAK_CONCURRENCY_SQL.format(
+        window_minutes=30)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert (got["max_concurrent"].to_numpy()
+            == exp["max_concurrent"].to_numpy()).all()
+    # a wider window can only raise (or keep) every peak
+    wide = peak_concurrency(SF, window_minutes=120).to_pandas()
+    assert (wide["max_concurrent"].to_numpy()
+            >= got["max_concurrent"].to_numpy()).all()
+
+
+def test_peak_concurrency_halfopen_boundary(tmp_path):
+    # intervals [0, 60) and [60, 120): the first CLOSES exactly when
+    # the second opens -> never concurrent (half-open semantics);
+    # a third starting at 30 overlaps the first only
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "ts": [base, base + pd.Timedelta(minutes=60),
+               base + pd.Timedelta(minutes=30)],
+        "event_type": ["a", "a", "a"],
+    }), d / "events.parquet")
+    from pagerank_ray.pipelines.relational import peak_concurrency
+    got = peak_concurrency(str(d), window_minutes=60).to_pandas()
+    assert got["event_type"].tolist() == ["a"]
+    assert got["max_concurrent"].tolist() == [2]
+
+
+def test_peak_concurrency_python_brute():
+    # independent brute force: sort boundary events per type
+    import pyarrow.parquet as pq
+
+    from pagerank_ray.pipelines.relational import peak_concurrency
+    got = peak_concurrency(SF, window_minutes=45).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    w = pd.Timedelta(minutes=45)
+    for et, g in ev.groupby("event_type"):
+        bounds = sorted([(t, 1) for t in g.ts]
+                        + [(t + w, -1) for t in g.ts],
+                        key=lambda x: (x[0], x[1]))
+        c = peak = 0
+        for _, dlt in bounds:
+            c += dlt
+            peak = max(peak, c)
+        assert int(got.loc[got.event_type == et,
+                           "max_concurrent"].iloc[0]) == peak
