@@ -861,6 +861,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _quiet()
         return outlier_events(sf_dir, q=0.9)
 
+    def q_inverted_index(sf_dir):
+        """Inverted-index summary
+        (pipelines/textstats.py:inverted_index_stats): per-term df /
+        tf / order-invariant posting-list fingerprint (sum of
+        splitmix64(doc_id) mod 2^31-1 — commutative, so the full
+        index CONTENT is certified without shipping posting lists);
+        batch-local (doc, term) dedup, vocabulary-scale shuffle."""
+        _quiet()
+        from pagerank_ray.pipelines.textstats import (_docs,
+                                                      inverted_index_stats)
+        return inverted_index_stats(_docs(sf_dir, ["doc_id", "text"]))
+
     def q_peak_concurrency(sf_dir):
         """Sweep-line max-overlap per event type
         (pipelines/relational.py:peak_concurrency): one boundary map,
@@ -1437,6 +1449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out (rows-only by design, sanctioned no_oracle
         # driver rows r1-r4) for peak_concurrency
         "knn_ivf": q_knn_ivf,
+        # added at the tail (the 50-row driver window is saturated
+        # with queries awaiting their first driver row); verified
+        # locally via tools/check_contract.py + pytest
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -1759,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
                                                   COOCCURRENCE_SQL,
                                                   REDACT_SQL,
                                                   TOP_TERMS_SQL,
+                                                  inverted_index_sql as
+                                                  _inv_sql,
                                                   stratified_sample_sql)
     from pagerank_ray.pipelines.events_graph import TRANSITIONS_SQL
     from pagerank_ray.pipelines.relational import (
@@ -1828,6 +1846,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter.i >= 0.5 * (sa.sz + sb.sz - inter.i)
         """,
         "top_terms": TOP_TERMS_SQL.format(k=20),
+        # inverted index: splitmix64 replays in HUGEINT; the posting
+        # fingerprint is a commutative mod-2^31-1 sum, so the oracle
+        # needs no posting-list ordering
+        "inverted_index": _inv_sql(k=50),
 
         # per-doc top-5 by (tf DESC, term ASC) is a TOTAL order (terms
         # unique per doc), so row_number is deterministic; (tf, df)

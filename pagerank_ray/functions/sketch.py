@@ -176,3 +176,34 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
                               zero_copy_batch=True).take_all():
         merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
     return merged.estimate()
+
+
+def splitmix64_subquery(column: str, table: str) -> str:
+    """A DuckDB subquery computing splitmix64(``column``) for every
+    row of ``table`` — the same mod-2^64 HUGEINT replay as
+    ``hll_distinct_sql`` (32-bit-split multiplies keep INT128 from
+    overflowing), factored out so any oracle can hash an integer
+    column exactly as ``splitmix64`` does. Selects (key, h) with h a
+    UBIGINT."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+    def mulmod(col: str, b: int) -> str:
+        hi, lo = b >> 32, b & 0xFFFFFFFF
+        return (f"(((CAST({col} AS HUGEINT) * {lo}) % {m64}"
+                f" + ((CAST({col} AS HUGEINT) * {hi}) % 4294967296)"
+                f" * 4294967296) % {m64})")
+
+    return f"""(
+        SELECT key, xor(z, z // 2147483648) AS h FROM (
+          SELECT key, CAST({mulmod('xor(z, z // 134217728)',
+                                   0x94D049BB133111EB)}
+                           AS UBIGINT) AS z FROM (
+            SELECT key, CAST({mulmod('xor(z, z // 1073741824)',
+                                     0xBF58476D1CE4E5B9)}
+                             AS UBIGINT) AS z FROM (
+              SELECT {column} AS key,
+                     CAST((((CAST({column} AS HUGEINT) % {m64})
+                            + {m64}) % {m64}
+                           + 11400714819323198485) % {m64}
+                     AS UBIGINT) AS z
+              FROM {table}))))"""

@@ -633,3 +633,124 @@ def heavy_hitter_terms(docs, k: int = 12, width: int | None = None):
         "term": pa.array(t["term"].to_numpy(dtype=object), s),
         "cnt": pa.array(t["sum(cnt)"].to_numpy().astype(np.int64),
                         i64)})
+
+
+# ------------------------------------------------- inverted_index_stats
+
+_FP_MOD = 2147483647  # 2^31 - 1: posting sums stay in int64 up to
+#                       2^32 postings per term before the final mod
+
+
+def inverted_index_stats(docs, k: int = 50):
+    """Top-``k`` inverted-index summary rows (term, df, tf,
+    posting_fp) by (df DESC, tf DESC, term ASC — a total order, so
+    the LIMIT is exact): document frequency, total term frequency,
+    and an ORDER-INVARIANT exact fingerprint of the posting list —
+    sum over posting doc_ids of splitmix64(doc_id) mod 2^31-1 (a
+    commutative hash, so no engine needs to materialize or sort the
+    posting list to agree on it; the DuckDB oracle replays splitmix64
+    in HUGEINT via ``sketch.splitmix64_subquery``). The fingerprint
+    certifies the full index CONTENT while the contract result stays
+    k rows.
+
+    Scale shape: one vectorized pass per batch (RE2 split +
+    list_parent_indices + arrow group_by) reduces the token stream
+    to distinct (doc, term) rows batch-locally — each document lives
+    in one row, so its tf table is batch-local and exact (the
+    tfidf_top_terms discipline) — then per-batch per-term partials
+    (df, tf, fp) bound the shuffle to the batch vocabulary. One
+    groupby-sum + a final mod + sort/limit. The posting lists
+    themselves never ship anywhere."""
+    from ..functions.sketch import splitmix64
+
+    i64, s = pa.int64(), pa.string()
+    empty = pa.table({"term": pa.array([], s),
+                      "df": pa.array([], i64),
+                      "tf": pa.array([], i64),
+                      "fp": pa.array([], i64)})
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+")
+        idx = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        pairs = pa.table({"i": idx.filter(keep),
+                          "term": flat.filter(keep)})
+        if pairs.num_rows == 0:
+            return empty
+        # distinct (doc, term) + tf, exact batch-locally (one doc ==
+        # one row)
+        g = pairs.group_by(["i", "term"]).aggregate([("term", "count")])
+        di = g.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy()[di]
+        hm = (splitmix64(doc.astype(np.uint64))
+              % np.uint64(_FP_MOD)).astype(np.int64)
+        tf = g.column("term_count").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        # per-batch per-term partials: the shuffle carries one row
+        # per distinct term per batch
+        part = pa.table({
+            "term": g.column("term"),
+            "df": pa.array(np.ones(len(tf), np.int64), i64),
+            "tf": pa.array(tf, i64),
+            "fp": pa.array(hm, i64),
+        }).group_by(["term"]).aggregate(
+            [("df", "sum"), ("tf", "sum"), ("fp", "sum")])
+        return pa.table({"term": part.column("term"),
+                         "df": part.column("df_sum"),
+                         "tf": part.column("tf_sum"),
+                         "fp": part.column("fp_sum")})
+
+    agg = (docs.map_batches(term_partials, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("term")
+           .aggregate(rd.aggregate.Sum("df", alias_name="df"),
+                      rd.aggregate.Sum("tf", alias_name="tf"),
+                      rd.aggregate.Sum("fp", alias_name="fp")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], s),
+                             "df": pa.array([], i64),
+                             "tf": pa.array([], i64),
+                             "posting_fp": pa.array([], i64)})
+        return pa.table({
+            "term": t.column("term"),
+            "df": t.column("df"),
+            "tf": t.column("tf"),
+            "posting_fp": pa.array(
+                t.column("fp").to_numpy(zero_copy_only=False)
+                % _FP_MOD, i64)})
+
+    return (agg.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["df", "tf", "term"],
+                  descending=[True, True, False]).limit(k))
+
+
+def inverted_index_sql(k: int = 50) -> str:
+    from ..functions.sketch import splitmix64_subquery
+    subq = splitmix64_subquery(
+        "doc_id", "(SELECT DISTINCT doc_id FROM documents)")
+    return rf"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(text, '\S+')) AS term
+                 FROM documents),
+         td AS (SELECT term, doc_id, COUNT(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         hh AS (SELECT key AS doc_id,
+                       CAST(h % {_FP_MOD} AS BIGINT) AS hm
+                FROM {subq} q),
+         agg AS (SELECT td.term,
+                        COUNT(*) AS df,
+                        CAST(SUM(td.tf) AS BIGINT) AS tf,
+                        CAST(SUM(hh.hm) % {_FP_MOD} AS BIGINT)
+                            AS posting_fp
+                 FROM td JOIN hh USING (doc_id)
+                 GROUP BY 1)
+    SELECT term, df, tf, posting_fp FROM agg
+    ORDER BY df DESC, tf DESC, term
+    LIMIT {k}
+"""

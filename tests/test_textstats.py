@@ -192,3 +192,54 @@ def test_heavy_hitter_width_too_narrow_raises():
     # width=1 cannot certify a top-12 over a long-tailed vocabulary
     with _pytest.raises(RuntimeError, match="cannot certify"):
         heavy_hitter_terms(docs, k=12, width=1)
+
+
+def test_inverted_index_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.textstats import (_docs,
+                                                  inverted_index_sql,
+                                                  inverted_index_stats)
+    sf = "/root/testdata/sf0.001"
+    got = inverted_index_stats(_docs(sf, ["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(inverted_index_sql()).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["term"].tolist() == exp["term"].tolist()
+    for c in ("df", "tf", "posting_fp"):
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+    assert (got["tf"] >= got["df"]).all()
+
+
+def test_inverted_index_fingerprint_order_invariant():
+    # the posting fingerprint is a commutative sum: hand-check it on
+    # a tiny corpus against the definition, in both row orders
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pagerank_ray.functions.sketch import splitmix64
+    from pagerank_ray.pipelines.textstats import (_FP_MOD,
+                                                  inverted_index_stats)
+
+    rows = {"doc_id": [5, 9, 12], "text": ["a b a", "b c", "a"]}
+    rev = {"doc_id": [12, 9, 5], "text": ["a", "b c", "a b a"]}
+    outs = []
+    for r in (rows, rev):
+        ds = rd.from_arrow(pa.table(r)).repartition(3)
+        outs.append(inverted_index_stats(ds, k=10).to_pandas()
+                    .sort_values("term").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    # int() BEFORE the mod: numpy uint64 % python-int promotes to
+    # float64 and corrupts low bits
+    h = {d: int(splitmix64(np.array([d], np.uint64))[0]) % _FP_MOD
+         for d in (5, 9, 12)}
+    got = outs[0].set_index("term")
+    assert got.loc["a", "df"] == 2 and got.loc["a", "tf"] == 3
+    assert got.loc["a", "posting_fp"] == (h[5] + h[12]) % _FP_MOD
+    assert got.loc["b", "posting_fp"] == (h[5] + h[9]) % _FP_MOD
+    assert got.loc["c", "posting_fp"] == h[9] % _FP_MOD
