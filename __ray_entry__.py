@@ -921,6 +921,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transition_counts)
         return transition_counts(sf_dir)
 
+    def q_path_counts(sf_dir):
+        """Per-user event-type TRIGRAM counts — order-3 sequence
+        statistics (pipelines/events_graph.py:path_counts): the
+        transition discipline widened to 3-windows with a TWO-row
+        boundary carry across block junctions. Exact int64."""
+        _quiet()
+        from pagerank_ray.pipelines.events_graph import path_counts
+        return path_counts(sf_dir)
+
     def q_audience_overlap(sf_dir):
         """Pairwise audience intersection/union between event types —
         the integral Jaccard core
@@ -1453,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with queries awaiting their first driver row); verified
         # locally via tools/check_contract.py + pytest
         "inverted_index": q_inverted_index,
+        "path_counts": q_path_counts,
     }
 
 
@@ -1778,7 +1788,8 @@ def oracle_sql() -> dict[str, str]:
                                                   inverted_index_sql as
                                                   _inv_sql,
                                                   stratified_sample_sql)
-    from pagerank_ray.pipelines.events_graph import TRANSITIONS_SQL
+    from pagerank_ray.pipelines.events_graph import (PATH_COUNTS_SQL,
+                                                     TRANSITIONS_SQL)
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, AUDIENCE_OVERLAP_SQL, BROADCAST_JOIN_SQL,
         DISTINCT_USERS_SQL, RETENTION_SQL,
@@ -1949,6 +1960,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": RETENTION_SQL.format(
             us=7 * 86_400_000_000),
         "transition_counts": TRANSITIONS_SQL,
+        # order-3 windows: two leads over the same per-user order
+        "path_counts": PATH_COUNTS_SQL,
         "audience_overlap": AUDIENCE_OVERLAP_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "top_revenue_orders": TOP_REVENUE_SQL.format(

@@ -192,3 +192,115 @@ TRANSITIONS_SQL = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+@ray.remote
+def _block_trigrams(block: pa.Table):
+    """Per-block (t1, t2, t3) partial counts for windows fully inside
+    the block, plus the block's first/last two (user, type) rows —
+    the _block_transitions discipline extended to width-3 windows
+    (so the driver's boundary carry is two rows instead of one)."""
+    import pyarrow.compute as pc
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "t3": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    u = block.column("user_id").to_numpy()
+    n = len(u)
+    if n == 0:
+        return (empty, [])
+    et = block.column("event_type").combine_chunks()
+    if n >= 3:
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        idx = pa.array(np.flatnonzero(same))
+        tri = pa.table({
+            "t1": et.take(idx),
+            "t2": et.take(pc.add(idx, pa.scalar(1, pa.int64()))),
+            "t3": et.take(pc.add(idx, pa.scalar(2, pa.int64())))})
+        g = tri.group_by(["t1", "t2", "t3"]).aggregate(
+            [("t1", "count")])
+        part = pa.table({"t1": g.column("t1"), "t2": g.column("t2"),
+                         "t3": g.column("t3"),
+                         "cnt": g.column("t1_count").cast(pa.int64())})
+    else:
+        part = empty
+    first2 = [(int(u[i]), et[i].as_py()) for i in range(min(2, n))]
+    last2 = [(int(u[i]), et[i].as_py())
+             for i in range(max(0, n - 2), n)]
+    return (part, [first2, last2])
+
+
+def path_counts(sf_dir: str) -> pa.Table:
+    """Per-user event-type TRIGRAM counts — the order-3 sequence /
+    Markov sufficient statistics (the n-gram path-mining primitive).
+    Returns (t1, t2, t3, cnt) sorted, exact int64; at most |types|³
+    rows.
+
+    Scale shape: the transition_counts distributed-lead discipline
+    widened to 3-windows — one range-partitioned sort, per-block
+    vectorized window partials (the shuffle carries ≤ types³ rows
+    per block), and an O(blocks) driver stitch that slides a TWO-row
+    carry across block junctions, so windows spanning any number of
+    tiny blocks are each counted exactly once."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    block_refs = [ref for bundle in sorted_ds.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
+    results = [_block_trigrams.options(num_returns=2).remote(b)
+               for b in block_refs]
+    cnt_refs = [r[0] for r in results]
+    bounds = ray.get([r[1] for r in results])
+
+    rows = {"t1": [], "t2": [], "t3": []}
+    tail: list = []  # last two (user, type) rows of the stream so far
+    for b in bounds:
+        if not b:
+            continue  # empty block: carry the tail through
+        first2, last2 = b
+        # windows ending at this block's first (and, with >=2 rows,
+        # second) row that reach back into the carry
+        win = tail + first2
+        for j in range(max(0, len(tail) - 2), len(tail)):
+            w = win[j:j + 3]
+            if len(w) == 3 and w[0][0] == w[1][0] == w[2][0]:
+                rows["t1"].append(w[0][1])
+                rows["t2"].append(w[1][1])
+                rows["t3"].append(w[2][1])
+        tail = (tail + first2)[-2:] if len(first2) < 2 else last2
+    boundary = rd.from_arrow(pa.table({
+        "t1": pa.array(rows["t1"], pa.string()),
+        "t2": pa.array(rows["t2"], pa.string()),
+        "t3": pa.array(rows["t3"], pa.string()),
+        "cnt": pa.array(np.ones(len(rows["t1"]), np.int64))}))
+
+    agg = (rd.from_arrow_refs(cnt_refs).union(boundary)
+           .groupby(["t1", "t2", "t3"]).sum("cnt"))
+    t = agg.to_pandas()
+    i64, s = pa.int64(), pa.string()
+    if t.empty:
+        return pa.table({"t1": pa.array([], s), "t2": pa.array([], s),
+                         "t3": pa.array([], s),
+                         "cnt": pa.array([], i64)})
+    t = t.sort_values(["t1", "t2", "t3"])
+    return pa.table({
+        "t1": pa.array(t["t1"], s),
+        "t2": pa.array(t["t2"], s),
+        "t3": pa.array(t["t3"], s),
+        "cnt": pa.array(t["sum(cnt)"].to_numpy().astype(np.int64),
+                        i64)})
+
+
+PATH_COUNTS_SQL = """
+    SELECT t1, t2, t3, COUNT(*) AS cnt
+    FROM (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""

@@ -477,3 +477,67 @@ def test_peak_concurrency_python_brute():
             peak = max(peak, c)
         assert int(got.loc[got.event_type == et,
                            "max_concurrent"].iloc[0]) == peak
+
+
+def test_path_counts_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.events_graph import (PATH_COUNTS_SQL,
+                                                     path_counts)
+    got = path_counts(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(PATH_COUNTS_SQL).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("t1", "t2", "t3"):
+        assert got[c].tolist() == exp[c].tolist()
+    assert (got["cnt"].to_numpy()
+            == exp["cnt"].to_numpy().astype("int64")).all()
+    # trigram mass == bigram mass minus one window per >=2-event user
+    assert got["cnt"].sum() > 0
+
+
+def test_path_counts_tiny_blocks(tmp_path):
+    # force near-1-row blocks so every trigram crosses a junction:
+    # the two-row carry must still count each window exactly once
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 60
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            pd.Timestamp("2024-01-01").value // 1000
+            + rng.permutation(n) * 1_000_000,
+            pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "event_type": pa.array(
+            [["a", "b", "c"][i] for i in rng.integers(0, 3, n)],
+            pa.string()),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256  # bytes -> tiny sort blocks
+        from pagerank_ray.pipelines.events_graph import path_counts
+        got = path_counts(str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for _, g in df.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        for i in range(len(ts) - 2):
+            want[(ts[i], ts[i + 1], ts[i + 2])] = want.get(
+                (ts[i], ts[i + 1], ts[i + 2]), 0) + 1
+    got_map = {(r.t1, r.t2, r.t3): int(r.cnt)
+               for r in got.itertuples()}
+    assert got_map == want
