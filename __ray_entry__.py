@@ -1144,6 +1144,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import waiting_suppliers
         return waiting_suppliers(sf_dir)
 
+    def q_revenue_rollup(sf_dir):
+        """ROLLUP-shaped multi-level revenue
+        (pipelines/warehouse.py:revenue_rollup): (year, month) /
+        (year) / grand-total levels from ONE scan — coarser levels
+        derive from the materialized finest level; -1 sentinels keep
+        integer columns integer. Exact int64 cents."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import revenue_rollup
+        return revenue_rollup(sf_dir)
+
     def q_customer_order_distribution(sf_dir):
         """TPC-H Q13 shape
         (pipelines/warehouse.py:customer_order_distribution):
@@ -1463,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # locally via tools/check_contract.py + pytest
         "inverted_index": q_inverted_index,
         "path_counts": q_path_counts,
+        "revenue_rollup": q_revenue_rollup,
     }
 
 
@@ -1808,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
                                                   MARKET_SHARE_SQL,
                                                   MIN_COST_SUPPLIER_SQL,
                                                   PROMOTABLE_SUPPLIERS_SQL,
+                                                  REVENUE_ROLLUP_SQL,
                                                   WAITING_SUPPLIERS_SQL,
                                                   NATION_PAIR_VOLUME_SQL,
                                                   ORDER_PRIORITY_SQL,
@@ -2020,6 +2032,8 @@ def oracle_sql() -> dict[str, str]:
         # Q21 shape: EXISTS/NOT-EXISTS as per-order sufficient stats
         "waiting_suppliers": WAITING_SUPPLIERS_SQL.format(
             region="ASIA", late_days=30, k=25),
+        # ROLLUP: multi-level aggregate; -1 sentinels via COALESCE
+        "revenue_rollup": REVENUE_ROLLUP_SQL,
         # Q13 shape: left join realizes the engine's count-arithmetic
         # zero bucket; exact int histogram
         "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,

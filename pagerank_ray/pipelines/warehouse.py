@@ -2697,3 +2697,78 @@ WAITING_SUPPLIERS_SQL = """
     ORDER BY numwait DESC, rs.s_suppkey
     LIMIT {k}
 """
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP-shaped multi-level aggregate: order revenue (exact
+    int64 cents) at (year, month), (year) and grand-total levels in
+    ONE pass — the warehouse drill-down shape (GROUP BY ROLLUP).
+    Aggregated-out levels carry the -1 sentinel (not NULL: integer
+    columns stay integer across engines). Returns (o_year, o_month,
+    revenue_cents) ordered by (o_year, o_month), sentinels first.
+
+    Scale shape: one orders scan with per-batch (year, month)
+    partials; the finest level materializes once as a Dataset and
+    the coarser levels DERIVE from it (a groupby over O(months) rows
+    and one scalar aggregate) — never a second scan, never a
+    per-level shuffle of the fact table."""
+    i64 = pa.int64()
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_year": pa.array([], i64),
+                             "o_month": pa.array([], i64),
+                             "rev": pa.array([], i64)})
+        od = t.column("o_orderdate")
+        df = (pd.DataFrame({
+                "o_year": pc.year(od).to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "o_month": pc.month(od).to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "rev": _cents(t.column("o_totalprice").to_numpy())})
+              .groupby(["o_year", "o_month"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    months = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate", "o_totalprice"])
+              .map_batches(month_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["o_year", "o_month"]).sum("rev")
+              .materialize())
+
+    years = (months.map_batches(
+        lambda t: pa.table({"o_year": t.column("o_year"),
+                            "rev": t.column("sum(rev)")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year").sum("rev"))
+
+    mt = months.to_pandas()
+    yt = years.to_pandas()
+    total = int(mt["sum(rev)"].sum()) if not mt.empty else 0
+
+    rows = [(-1, -1, total)]
+    rows += [(int(r.o_year), -1, int(r["sum(rev)"]))
+             for _, r in yt.iterrows()]
+    rows += [(int(r.o_year), int(r.o_month), int(r["sum(rev)"]))
+             for _, r in mt.iterrows()]
+    rows.sort()
+    return pa.table({
+        "o_year": pa.array([r[0] for r in rows], i64),
+        "o_month": pa.array([r[1] for r in rows], i64),
+        "revenue_cents": pa.array([r[2] for r in rows], i64)})
+
+
+REVENUE_ROLLUP_SQL = """
+    SELECT COALESCE(o_year, -1) AS o_year,
+           COALESCE(o_month, -1) AS o_month,
+           revenue_cents
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               EXTRACT(month FROM o_orderdate) AS o_month,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS revenue_cents
+        FROM orders
+        GROUP BY ROLLUP(o_year, o_month))
+    ORDER BY 1, 2
+"""

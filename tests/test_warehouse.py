@@ -582,3 +582,23 @@ def test_waiting_suppliers_sole_late_semantics(tmp_path):
     got = waiting_suppliers(str(d), region="R0").to_pandas()
     assert got["s_suppkey"].tolist() == [10]
     assert got["numwait"].tolist() == [1]
+
+
+def test_revenue_rollup_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (REVENUE_ROLLUP_SQL,
+                                                  revenue_rollup)
+    got = revenue_rollup(SF).to_pandas()
+    exp = _duck(tables=("orders",)).execute(REVENUE_ROLLUP_SQL).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+    # internal consistency: months sum to their year, years to total
+    mt = got[(got.o_year >= 0) & (got.o_month >= 0)]
+    yt = got[(got.o_year >= 0) & (got.o_month == -1)]
+    tot = got[(got.o_year == -1)]
+    assert len(tot) == 1
+    assert (mt.groupby("o_year")["revenue_cents"].sum().to_numpy()
+            == yt.set_index("o_year")["revenue_cents"]
+            .loc[mt.o_year.unique()].to_numpy()).all()
+    assert yt["revenue_cents"].sum() == tot["revenue_cents"].iloc[0]
