@@ -1144,6 +1144,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pagerank_ray.pipelines.warehouse import waiting_suppliers
         return waiting_suppliers(sf_dir)
 
+    def q_customer_revenue_deciles(sf_dir):
+        """Distributed NTILE(10) over per-customer revenue
+        (pipelines/warehouse.py:customer_revenue_deciles): one
+        groupby + one sort; global rank offsets from block METADATA,
+        bucket assignment pure per-block arithmetic. Exact int64."""
+        _quiet()
+        from pagerank_ray.pipelines.warehouse import (
+            customer_revenue_deciles)
+        return customer_revenue_deciles(sf_dir)
+
     def q_revenue_rollup(sf_dir):
         """ROLLUP-shaped multi-level revenue
         (pipelines/warehouse.py:revenue_rollup): (year, month) /
@@ -1474,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "path_counts": q_path_counts,
         "revenue_rollup": q_revenue_rollup,
+        "customer_revenue_deciles": q_customer_revenue_deciles,
     }
 
 
@@ -1810,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_EVENT_AGG_SQL, TOPK_PER_LANG_SQL,
         WINDOWED_EVENT_AGG_SQL)
     from pagerank_ray.pipelines.warehouse import (BLOOM_JOIN_SQL,
+                                                  CUSTOMER_DECILES_SQL,
                                                   CUSTOMER_ORDER_DIST_SQL,
                                                   DISJUNCTIVE_REVENUE_SQL,
                                                   IDLE_RICH_CUSTOMERS_SQL,
@@ -2034,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
             region="ASIA", late_days=30, k=25),
         # ROLLUP: multi-level aggregate; -1 sentinels via COALESCE
         "revenue_rollup": REVENUE_ROLLUP_SQL,
+        # NTILE: global window ranking; exact int64 cents
+        "customer_revenue_deciles": CUSTOMER_DECILES_SQL.format(k=10),
         # Q13 shape: left join realizes the engine's count-arithmetic
         # zero bucket; exact int histogram
         "customer_order_distribution": CUSTOMER_ORDER_DIST_SQL,

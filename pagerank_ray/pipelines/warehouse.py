@@ -2772,3 +2772,96 @@ REVENUE_ROLLUP_SQL = """
         GROUP BY ROLLUP(o_year, o_month))
     ORDER BY 1, 2
 """
+
+
+@ray.remote
+def _block_ntile(block: pa.Table, offset: int, n: int,
+                 k: int) -> pa.Table:
+    """Assign NTILE(k) buckets to one globally-sorted block given its
+    global row offset — pure arithmetic on (offset + i), so blocks
+    tile independently. NTILE semantics: the first n % k buckets get
+    ceil(n/k) rows, the rest floor(n/k)."""
+    i64 = pa.int64()
+    if block.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], i64),
+                         "revenue_cents": pa.array([], i64),
+                         "decile": pa.array([], i64)})
+    r = offset + np.arange(block.num_rows, dtype=np.int64) + 1
+    q, m = n // k, n % k
+    if q == 0:
+        b = r
+    else:
+        boundary = m * (q + 1)
+        b = np.where(r <= boundary,
+                     (r - 1) // (q + 1) + 1,
+                     m + (r - boundary - 1) // q + 1)
+    return pa.table({"c_custkey": block.column("c_custkey"),
+                     "revenue_cents": block.column("revenue_cents"),
+                     "decile": pa.array(b.astype(np.int64), i64)})
+
+
+def customer_revenue_deciles(sf_dir: str, k: int = 10):
+    """Distributed NTILE(k): every customer's lifetime order revenue
+    (exact int64 cents) with its revenue decile under the total order
+    (revenue_cents ASC, c_custkey ASC) — the global window-function
+    ranking shape. Returns a Dataset (c_custkey, revenue_cents,
+    decile).
+
+    Scale shape: per-batch per-customer partials + one groupby build
+    the revenue table; ONE Dataset sort range-partitions it globally;
+    each block's global rank offset comes from block METADATA (the
+    quantiles_per_type discipline), so bucket assignment is
+    embarrassingly parallel arithmetic per block — no second shuffle,
+    no driver materialization of the ranked table."""
+    i64 = pa.int64()
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], i64),
+                             "rev": pa.array([], i64)})
+        df = (pd.DataFrame({
+                "c_custkey": t.column("o_custkey").to_numpy(),
+                "rev": _cents(t.column("o_totalprice").to_numpy())})
+              .groupby("c_custkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rev = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+           .map_batches(cust_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("c_custkey").sum("rev")
+           .map_batches(lambda t: pa.table({
+               "c_custkey": t.column("c_custkey"),
+               "revenue_cents": t.column("sum(rev)")}),
+               batch_format="pyarrow", zero_copy_batch=True))
+
+    sorted_ds = rev.sort(["revenue_cents", "c_custkey"]).materialize()
+    blocks = [(ref, md.num_rows)
+              for bundle in sorted_ds.iter_internal_ref_bundles()
+              for ref, md in bundle.blocks]
+    n = int(sum(nr for _, nr in blocks))
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "c_custkey": pa.array([], i64),
+            "revenue_cents": pa.array([], i64),
+            "decile": pa.array([], i64)}))
+    offsets = np.concatenate(
+        [[0], np.cumsum([nr for _, nr in blocks])]).astype(np.int64)
+    out_refs = [_block_ntile.remote(ref, int(offsets[i]), n, k)
+                for i, (ref, _) in enumerate(blocks)]
+    return rd.from_arrow_refs(out_refs)
+
+
+CUSTOMER_DECILES_SQL = """
+    WITH rev AS (
+        SELECT o_custkey AS c_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS revenue_cents
+        FROM orders GROUP BY 1)
+    SELECT c_custkey, revenue_cents,
+           CAST(NTILE({k}) OVER (
+               ORDER BY revenue_cents, c_custkey) AS BIGINT)
+               AS decile
+    FROM rev
+    ORDER BY revenue_cents, c_custkey
+"""

@@ -602,3 +602,39 @@ def test_revenue_rollup_matches_duckdb():
             == yt.set_index("o_year")["revenue_cents"]
             .loc[mt.o_year.unique()].to_numpy()).all()
     assert yt["revenue_cents"].sum() == tot["revenue_cents"].iloc[0]
+
+
+def test_customer_revenue_deciles_matches_duckdb():
+    from pagerank_ray.pipelines.warehouse import (CUSTOMER_DECILES_SQL,
+                                                  customer_revenue_deciles)
+    got = customer_revenue_deciles(SF).to_pandas().sort_values(
+        ["revenue_cents", "c_custkey"]).reset_index(drop=True)
+    exp = _duck(tables=("orders",)).execute(
+        CUSTOMER_DECILES_SQL.format(k=10)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+    # NTILE invariants: deciles 1..10, sizes differ by at most one,
+    # and decile is monotone in the sort order
+    sizes = got.groupby("decile").size()
+    assert sorted(sizes.index) == list(range(1, 11))
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(got["decile"].to_numpy()) >= 0).all()
+
+
+def test_customer_revenue_deciles_fewer_rows_than_buckets(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wh"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_custkey": [1, 2, 3],
+        "o_totalprice": [10.0, 20.0, 30.0],
+    }), d / "orders.parquet")
+    from pagerank_ray.pipelines.warehouse import customer_revenue_deciles
+    got = customer_revenue_deciles(str(d)).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    # n < k: NTILE gives each row its own bucket 1..n
+    assert got["decile"].tolist() == [1, 2, 3]
