@@ -571,6 +571,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"MIS took {rounds} rounds; raise the oracle unroll")
         return t.replace_schema_metadata(None)
 
+    def q_sssp_events(sf_dir):
+        """Weighted single-source shortest paths on the SPARSIFIED
+        symmetrized events graph (engine extension,
+        graph/bfs.py:weighted_sssp): delta-frontier Bellman-Ford,
+        deterministic integer weights w(u,v) = (lo*31+hi) % 7 + 1 on
+        the canonical pair; broadcast rounds under the node cap,
+        bit-equal Dataset rounds beyond (pinned by test). The oracle
+        prunes walks at dist 200 — safe iff every shortest dist is
+        below it, which the engine ASSERTS (the unroll-depth
+        discipline)."""
+        _quiet()
+        import numpy as _np
+
+        from pagerank_ray.graph.bfs import weighted_sssp
+
+        def sym_w(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            sn = _pc.cast(t.column("src"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            dn = _pc.cast(t.column("dst"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = (sn * 31 + dn) % 37 < 2
+            sn, dn = sn[keep], dn[keep]
+            lo = _np.minimum(sn, dn)
+            hi = _np.maximum(sn, dn)
+            w = (lo * 31 + hi) % 7 + 1
+            src = t.column("src").to_numpy(zero_copy_only=False)[keep]
+            dst = t.column("dst").to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "u": pa.array(_np.concatenate([src, dst]),
+                              pa.string()),
+                "v": pa.array(_np.concatenate([dst, src]),
+                              pa.string()),
+                "w": pa.array(_np.concatenate([w, w]), pa.int64())})
+
+        edges = edges_from_events(sf_dir).map_batches(
+            sym_w, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        seed = edges.min("u")
+        t = weighted_sssp(edges, seed)
+        mx = int(pa.compute.max(t.column("dist")).as_py() or 0)
+        assert mx < 200, (
+            f"max shortest dist {mx} reached the oracle's walk bound;"
+            f" raise it")
+        return t.replace_schema_metadata(None)
+
     def q_link_prediction_events(sf_dir):
         """Top-20 common-neighbor link predictions on the SPARSIFIED
         events graph (engine extension, graph/linkpred.py): for
@@ -1485,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_counts": q_path_counts,
         "revenue_rollup": q_revenue_rollup,
         "customer_revenue_deciles": q_customer_revenue_deciles,
+        "sssp_events": q_sssp_events,
     }
 
 
@@ -2208,6 +2255,41 @@ def oracle_sql() -> dict[str, str]:
                      WHERE walk.dist < (SELECT COUNT(*) FROM nodes)
                  )
             SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+        """,
+
+        # weighted SSSP: min over ALL walks with dist pruned at 200;
+        # safe because every prefix of a shortest path has dist below
+        # the final dist, which the ENGINE asserts is < 200
+        "sssp_events": f"""
+            WITH RECURSIVE e0 AS ({_EDGES}),
+                 sp AS (SELECT src, dst FROM e0
+                        WHERE (CAST(src AS BIGINT) * 31
+                               + CAST(dst AS BIGINT)) % 37 < 2),
+                 we AS (SELECT src AS u, dst AS v,
+                               (LEAST(CAST(src AS BIGINT),
+                                      CAST(dst AS BIGINT)) * 31
+                                + GREATEST(CAST(src AS BIGINT),
+                                           CAST(dst AS BIGINT)))
+                               % 7 + 1 AS w
+                        FROM sp
+                        UNION ALL
+                        SELECT dst, src,
+                               (LEAST(CAST(src AS BIGINT),
+                                      CAST(dst AS BIGINT)) * 31
+                                + GREATEST(CAST(src AS BIGINT),
+                                           CAST(dst AS BIGINT)))
+                               % 7 + 1
+                        FROM sp),
+                 nodes AS (SELECT DISTINCT u AS node FROM we),
+                 seed AS (SELECT MIN(node) AS s0 FROM nodes),
+                 walk(node, dist) AS (
+                     SELECT s0, CAST(0 AS BIGINT) FROM seed
+                     UNION
+                     SELECT we.v, walk.dist + we.w
+                     FROM walk JOIN we ON we.u = walk.node
+                     WHERE walk.dist < 200)
+            SELECT node, MIN(dist) AS dist FROM walk
+            GROUP BY node ORDER BY node
         """,
 
         # closeness: 3-seed BFS stats; seeds = 3 smallest node

@@ -215,3 +215,208 @@ def closeness_stats(graph_dir: str, seed_ids,
             "max_dist": pa.array([r[3] for r in rows], i64)})
     finally:
         kill_workers(W)
+
+
+# ------------------------------------------------- weighted SSSP
+
+def weighted_sssp(edges, seed: str, max_rounds: int = 64,
+                  join_partitions: int | None = None,
+                  mode: str = "auto"):
+    """Single-source shortest paths with positive integer edge
+    weights — delta-frontier Bellman-Ford as a pure Dataset
+    composition. ``edges`` is a Dataset (u, v, w) of DIRECTED
+    weighted edges (symmetrize before calling for undirected
+    semantics); ``seed`` the source node (string). Returns a Dataset
+    (node, dist) for every reached node, exact int64.
+
+    Per round: the changed frontier joins the edge table
+    (partitioned hash join), a per-batch min combiner + groupby-min
+    reduce the candidates, and the relax step is ONE tag-union
+    groupby over packed ``dist*2 + is_candidate`` values — the min
+    of the packed value picks the smaller dist with ties to the
+    incumbent, so "changed" falls out of the low bit with no
+    anti-join (the mis.py keep-flag discipline). Rounds are bounded
+    by the shortest-path hop count (delta frontiers), NOT by n;
+    raises on ``max_rounds`` exhaustion (a truncated relaxation is
+    not a result — the kcore discipline). The returned table's
+    metadata carries ``rounds_used`` for the engine-asserts-unroll
+    tests."""
+    import ray.data as rd
+
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64, s = pa.int64(), pa.string()
+    nparts = join_partitions or default_join_partitions()
+    edge_schema = [("u", s), ("v", s), ("w", i64)]
+
+    # broadcast fast path when the NODE SET fits the driver (the
+    # _mis_broadcast precedent): dist vector ships via ray.put, one
+    # edge scan per round, driver folds vocabulary-bounded partials.
+    # "dataset" forces the fully-distributed rounds (path-equality
+    # pinned by test).
+    if mode in ("auto", "broadcast"):
+        def both_ends(t: pa.Table) -> pa.Table:
+            return pa.table({"u": pa.concat_arrays(
+                [t.column("u").combine_chunks(),
+                 t.column("v").combine_chunks()])})
+
+        distinct = (edges.map_batches(both_ends,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                    .groupby("u").count().materialize())
+        n_nodes = distinct.count()
+        if mode == "broadcast" or n_nodes <= SSSP_BROADCAST_MAX_NODES:
+            nodes = np.array(sorted(r["u"] for r in
+                                    distinct.take_all()),
+                             dtype=object)
+            distv, rounds = _sssp_broadcast(edges, nodes, seed,
+                                            max_rounds)
+            reached = distv < 2**62
+            out = pa.table({
+                "node": pa.array(nodes[reached].tolist(), s),
+                "dist": pa.array(distv[reached], i64)})
+            return out.replace_schema_metadata(
+                {b"rounds_used": str(rounds).encode()})
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([seed], s),
+        "dist": pa.array([0], i64)})).materialize()
+    frontier = dist
+
+    def cand_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], s),
+                             "nd": pa.array([], i64)})
+        nd = (t.column("dist").to_numpy(zero_copy_only=False)
+              + t.column("w").to_numpy(zero_copy_only=False))
+        g = (pa.table({"node": t.column("v"),
+                       "nd": pa.array(nd, i64)})
+             .group_by(["node"]).aggregate([("nd", "min")]))
+        return pa.table({"node": g.column("node"),
+                         "nd": g.column("nd_min")})
+
+    def pack(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], s),
+                                 "p": pa.array([], i64)})
+            col = "dist" if tag == 0 else "nd"
+            d = t.column(col).to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("node"),
+                             "p": pa.array(d * 2 + tag, i64)})
+        return f
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], s),
+                             "dist": pa.array([], i64),
+                             "chg": pa.array([], i64)})
+        p = t.column("min(p)").to_numpy(zero_copy_only=False)
+        return pa.table({"node": t.column("node"),
+                         "dist": pa.array(p // 2, i64),
+                         "chg": pa.array(p & 1, i64)})
+
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cand = (hash_join(
+            frontier, edges, on=("node",), right_on=("u",),
+            num_partitions=nparts,
+            left_schema=[("node", s), ("dist", i64)],
+            right_schema=edge_schema)
+            .map_batches(cand_min, batch_format="pyarrow",
+                         zero_copy_batch=True))
+        packed = (dist.map_batches(pack(0), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .union(cand.map_batches(pack(1),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True))
+                  .groupby("node").min("p")
+                  .map_batches(unpack, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .materialize())
+        def chg_only(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("chg"), pa.scalar(1, i64))
+            return pa.table({"node": t.column("node").filter(keep),
+                             "dist": t.column("dist").filter(keep)})
+
+        frontier = packed.map_batches(
+            chg_only, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        dist = packed.select_columns(["node", "dist"]).materialize()
+        if frontier.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"weighted_sssp did not converge in {max_rounds} rounds")
+
+    out = dist.sort("node")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = tbl.cast(pa.schema([("node", s), ("dist", i64)]))
+    return tbl.replace_schema_metadata(
+        {b"rounds_used": str(rounds).encode()})
+
+
+SSSP_BROADCAST_MAX_NODES = 2_000_000  # dist vector must fit the driver
+
+
+def _sssp_broadcast(edges, nodes: np.ndarray, seed: str,
+                    max_rounds: int):
+    """Broadcast Bellman-Ford rounds for graphs whose NODE SET fits
+    the driver (the _mis_broadcast precedent): per round the dist
+    vector ships once via ray.put, ONE distributed edge scan emits
+    per-batch per-target relaxation minima (bounded by the batch
+    vocabulary), and the driver folds the tiny partials. The edge
+    table never moves; beyond SSSP_BROADCAST_MAX_NODES the Dataset
+    round loop runs instead (bit-equal — pinned by test)."""
+    i64, s = pa.int64(), pa.string()
+    INF = np.int64(2**62)
+    dist = np.full(len(nodes), INF, np.int64)
+    si = int(np.searchsorted(nodes, seed))
+    dist[si] = 0
+    active = np.zeros(len(nodes), bool)
+    active[si] = True
+
+    for rounds in range(1, max_rounds + 1):
+        dref = ray.put((nodes, dist, active))
+
+        def relax(t: pa.Table, *, dref) -> pa.Table:
+            nd_, d_, act_ = ray.get(dref) if isinstance(
+                dref, ray.ObjectRef) else dref
+            if t.num_rows == 0:
+                return pa.table({"v": pa.array([], s),
+                                 "nd": pa.array([], i64)})
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nd_, u)
+            keep = act_[pos]
+            if not keep.any():
+                return pa.table({"v": pa.array([], s),
+                                 "nd": pa.array([], i64)})
+            cand = (d_[pos[keep]]
+                    + t.column("w").to_numpy(
+                        zero_copy_only=False)[keep])
+            g = (pa.table({"v": t.column("v").filter(pa.array(keep)),
+                           "nd": pa.array(cand, i64)})
+                 .group_by(["v"]).aggregate([("nd", "min")]))
+            return pa.table({"v": g.column("v"),
+                             "nd": g.column("nd_min")})
+
+        parts = edges.map_batches(relax, fn_kwargs={"dref": dref},
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        active = np.zeros(len(nodes), bool)
+        changed = 0
+        agg: dict = {}
+        for r in parts:
+            v, nd = r["v"], r["nd"]
+            if nd < agg.get(v, INF):
+                agg[v] = nd
+        for v, nd in agg.items():
+            p = int(np.searchsorted(nodes, v))
+            if nd < dist[p]:
+                dist[p] = nd
+                active[p] = True
+                changed += 1
+        if changed == 0:
+            return dist, rounds
+    raise RuntimeError(
+        f"weighted_sssp did not converge in {max_rounds} rounds")
