@@ -610,7 +610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sym_w, batch_format="pyarrow",
             zero_copy_batch=True).materialize()
         seed = edges.min("u")
-        t = weighted_sssp(edges, seed)
+        # max_rounds must cover the oracle's dist<200 walk bound:
+        # unit weights can need up to 199 relaxation rounds
+        t = weighted_sssp(edges, seed, max_rounds=256)
         mx = int(pa.compute.max(t.column("dist")).as_py() or 0)
         assert mx < 200, (
             f"max shortest dist {mx} reached the oracle's walk bound;"

@@ -100,6 +100,21 @@ class HyperLogLog:
         return h
 
 
+# the mod-2^64 HUGEINT replay pieces shared by every splitmix64 SQL
+# oracle in this module (64x64-bit multiplies split into 32-bit
+# halves so INT128 never overflows); walks.py / mis.py carry their
+# own inlined copies, each pinned to the Python splitmix64 by their
+# oracle-equality tests
+_M64_SQL = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def _mulmod_sql(col: str, b: int) -> str:
+    hi, lo = b >> 32, b & 0xFFFFFFFF
+    return (f"(((CAST({col} AS HUGEINT) * {lo}) % {_M64_SQL}"
+            f" + ((CAST({col} AS HUGEINT) * {hi}) % 4294967296)"
+            f" * 4294967296) % {_M64_SQL})")
+
+
 def hll_distinct_sql(column: str = "user_id", table: str = "events",
                      p: int = 12) -> str:
     """DuckDB oracle for the INTEGER-column HLL path: replays
@@ -110,13 +125,8 @@ def hll_distinct_sql(column: str = "user_id", table: str = "events",
     estimate + linear-counting correction. The estimate is a
     deterministic function of the register array, so the approximate
     sketch gets an exact value-hash oracle."""
-    m64 = "CAST('18446744073709551616' AS HUGEINT)"
-
-    def mulmod(col: str, b: int) -> str:
-        hi, lo = b >> 32, b & 0xFFFFFFFF
-        return (f"(((CAST({col} AS HUGEINT) * {lo}) % {m64}"
-                f" + ((CAST({col} AS HUGEINT) * {hi}) % 4294967296)"
-                f" * 4294967296) % {m64})")
+    m64 = _M64_SQL
+    mulmod = _mulmod_sql
 
     m = 1 << p
     idx_div = 1 << (64 - p)
@@ -181,29 +191,20 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
 def splitmix64_subquery(column: str, table: str) -> str:
     """A DuckDB subquery computing splitmix64(``column``) for every
     row of ``table`` — the same mod-2^64 HUGEINT replay as
-    ``hll_distinct_sql`` (32-bit-split multiplies keep INT128 from
-    overflowing), factored out so any oracle can hash an integer
-    column exactly as ``splitmix64`` does. Selects (key, h) with h a
-    UBIGINT."""
-    m64 = "CAST('18446744073709551616' AS HUGEINT)"
-
-    def mulmod(col: str, b: int) -> str:
-        hi, lo = b >> 32, b & 0xFFFFFFFF
-        return (f"(((CAST({col} AS HUGEINT) * {lo}) % {m64}"
-                f" + ((CAST({col} AS HUGEINT) * {hi}) % 4294967296)"
-                f" * 4294967296) % {m64})")
-
+    ``hll_distinct_sql`` (shared ``_mulmod_sql`` pieces), factored
+    out so any oracle can hash an integer column exactly as
+    ``splitmix64`` does. Selects (key, h) with h a UBIGINT."""
     return f"""(
         SELECT key, xor(z, z // 2147483648) AS h FROM (
-          SELECT key, CAST({mulmod('xor(z, z // 134217728)',
-                                   0x94D049BB133111EB)}
+          SELECT key, CAST({_mulmod_sql('xor(z, z // 134217728)',
+                                        0x94D049BB133111EB)}
                            AS UBIGINT) AS z FROM (
-            SELECT key, CAST({mulmod('xor(z, z // 1073741824)',
-                                     0xBF58476D1CE4E5B9)}
+            SELECT key, CAST({_mulmod_sql('xor(z, z // 1073741824)',
+                                          0xBF58476D1CE4E5B9)}
                              AS UBIGINT) AS z FROM (
               SELECT {column} AS key,
-                     CAST((((CAST({column} AS HUGEINT) % {m64})
-                            + {m64}) % {m64}
-                           + 11400714819323198485) % {m64}
+                     CAST((((CAST({column} AS HUGEINT) % {_M64_SQL})
+                            + {_M64_SQL}) % {_M64_SQL}
+                           + 11400714819323198485) % {_M64_SQL}
                      AS UBIGINT) AS z
               FROM {table}))))"""

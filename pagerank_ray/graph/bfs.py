@@ -226,8 +226,14 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     weights — delta-frontier Bellman-Ford as a pure Dataset
     composition. ``edges`` is a Dataset (u, v, w) of DIRECTED
     weighted edges (symmetrize before calling for undirected
-    semantics); ``seed`` the source node (string). Returns a Dataset
-    (node, dist) for every reached node, exact int64.
+    semantics); ``seed`` the source node (string, must be a node of
+    the graph — ValueError otherwise, the resolve_seed_ids
+    discipline). Returns a pyarrow TABLE (node, dist) for every
+    reached node, exact int64, sorted by node — the result is
+    node-scale and lands on the driver as the contract form (the
+    actor-based ``bfs_distances`` covers the distributed-sink path;
+    this operator adds WEIGHTS); ``rounds_used`` rides the schema
+    metadata for the engine-asserts-oracle-bound tests.
 
     Per round: the changed frontier joins the edge table
     (partitioned hash join), a per-batch min combiner + groupby-min
@@ -245,6 +251,8 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
 
     from ..stages.join import default_join_partitions, hash_join
 
+    if mode not in ("auto", "broadcast", "dataset"):
+        raise ValueError(f"unknown mode {mode!r}")
     i64, s = pa.int64(), pa.string()
     nparts = join_partitions or default_join_partitions()
     edge_schema = [("u", s), ("v", s), ("w", i64)]
@@ -269,7 +277,10 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
             nodes = np.array(sorted(r["u"] for r in
                                     distinct.take_all()),
                              dtype=object)
-            distv, rounds = _sssp_broadcast(edges, nodes, seed,
+            si = int(np.searchsorted(nodes, seed))
+            if si >= len(nodes) or nodes[si] != seed:
+                raise ValueError(f"seed node {seed!r} not in graph")
+            distv, rounds = _sssp_broadcast(edges, nodes, si,
                                             max_rounds)
             reached = distv < 2**62
             out = pa.table({
@@ -277,6 +288,18 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
                 "dist": pa.array(distv[reached], i64)})
             return out.replace_schema_metadata(
                 {b"rounds_used": str(rounds).encode()})
+
+    # seed membership check (the broadcast path validated against its
+    # node array; mirror it here so the two paths agree on bad input)
+    def seed_hits(t: pa.Table) -> pa.Table:
+        hit = pc.sum(pc.cast(pc.or_(
+            pc.equal(t.column("u"), pa.scalar(seed)),
+            pc.equal(t.column("v"), pa.scalar(seed))), i64)).as_py()
+        return pa.table({"n": pa.array([int(hit or 0)], i64)})
+
+    if not (edges.map_batches(seed_hits, batch_format="pyarrow",
+                              zero_copy_batch=True).sum("n") or 0):
+        raise ValueError(f"seed node {seed!r} not in graph")
 
     dist = rd.from_arrow(pa.table({
         "node": pa.array([seed], s),
@@ -359,62 +382,82 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
 SSSP_BROADCAST_MAX_NODES = 2_000_000  # dist vector must fit the driver
 
 
-def _sssp_broadcast(edges, nodes: np.ndarray, seed: str,
+def _sssp_broadcast(edges, nodes, seed_idx: int,
                     max_rounds: int):
     """Broadcast Bellman-Ford rounds for graphs whose NODE SET fits
-    the driver (the _mis_broadcast precedent): per round the dist
-    vector ships once via ray.put, ONE distributed edge scan emits
-    per-batch per-target relaxation minima (bounded by the batch
-    vocabulary), and the driver folds the tiny partials. The edge
-    table never moves; beyond SSSP_BROADCAST_MAX_NODES the Dataset
-    round loop runs instead (bit-equal — pinned by test)."""
-    i64, s = pa.int64(), pa.string()
+    the driver (the _mis_broadcast precedent): the edge endpoints are
+    ENCODED to int32 node positions ONCE (a single searchsorted pass
+    over the string columns — rounds never touch strings again); per
+    round the dist vector ships via ray.put, one distributed edge
+    scan emits per-batch per-target relaxation minima (bounded by
+    the batch vocabulary), and the driver folds the tiny partials.
+    The edge table never moves; beyond SSSP_BROADCAST_MAX_NODES the
+    Dataset round loop runs instead (bit-equal — pinned by test)."""
+    i32, i64 = pa.int32(), pa.int64()
+    nref = ray.put(nodes)
+
+    def encode(t: pa.Table, *, nref) -> pa.Table:
+        nd_ = ray.get(nref) if isinstance(nref, ray.ObjectRef) else nref
+        if t.num_rows == 0:
+            return pa.table({"ui": pa.array([], i32),
+                             "vi": pa.array([], i32),
+                             "w": pa.array([], i64)})
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ui": pa.array(np.searchsorted(nd_, u).astype(np.int32),
+                           i32),
+            "vi": pa.array(np.searchsorted(nd_, v).astype(np.int32),
+                           i32),
+            "w": t.column("w")})
+
+    enc = edges.map_batches(encode, fn_kwargs={"nref": nref},
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
     INF = np.int64(2**62)
     dist = np.full(len(nodes), INF, np.int64)
-    si = int(np.searchsorted(nodes, seed))
-    dist[si] = 0
+    dist[seed_idx] = 0
     active = np.zeros(len(nodes), bool)
-    active[si] = True
+    active[seed_idx] = True
 
     for rounds in range(1, max_rounds + 1):
-        dref = ray.put((nodes, dist, active))
+        dref = ray.put((dist, active))
 
         def relax(t: pa.Table, *, dref) -> pa.Table:
-            nd_, d_, act_ = ray.get(dref) if isinstance(
+            d_, act_ = ray.get(dref) if isinstance(
                 dref, ray.ObjectRef) else dref
+            empty = pa.table({"vi": pa.array([], i32),
+                              "nd": pa.array([], i64)})
             if t.num_rows == 0:
-                return pa.table({"v": pa.array([], s),
-                                 "nd": pa.array([], i64)})
-            u = t.column("u").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(nd_, u)
-            keep = act_[pos]
+                return empty
+            ui = t.column("ui").to_numpy(zero_copy_only=False)
+            keep = act_[ui]
             if not keep.any():
-                return pa.table({"v": pa.array([], s),
-                                 "nd": pa.array([], i64)})
-            cand = (d_[pos[keep]]
+                return empty
+            cand = (d_[ui[keep]]
                     + t.column("w").to_numpy(
                         zero_copy_only=False)[keep])
-            g = (pa.table({"v": t.column("v").filter(pa.array(keep)),
+            g = (pa.table({"vi": t.column("vi").filter(pa.array(keep)),
                            "nd": pa.array(cand, i64)})
-                 .group_by(["v"]).aggregate([("nd", "min")]))
-            return pa.table({"v": g.column("v"),
+                 .group_by(["vi"]).aggregate([("nd", "min")]))
+            return pa.table({"vi": g.column("vi"),
                              "nd": g.column("nd_min")})
 
-        parts = edges.map_batches(relax, fn_kwargs={"dref": dref},
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True).take_all()
+        parts = enc.map_batches(relax, fn_kwargs={"dref": dref},
+                                batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
         active = np.zeros(len(nodes), bool)
         changed = 0
         agg: dict = {}
         for r in parts:
-            v, nd = r["v"], r["nd"]
-            if nd < agg.get(v, INF):
-                agg[v] = nd
-        for v, nd in agg.items():
-            p = int(np.searchsorted(nodes, v))
-            if nd < dist[p]:
-                dist[p] = nd
-                active[p] = True
+            vi, nd = r["vi"], r["nd"]
+            if nd < agg.get(vi, INF):
+                agg[vi] = nd
+        for vi, nd in agg.items():
+            if nd < dist[vi]:
+                dist[vi] = nd
+                active[vi] = True
                 changed += 1
         if changed == 0:
             return dist, rounds

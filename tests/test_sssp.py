@@ -88,3 +88,16 @@ def test_sssp_events_contract_matches_duckdb():
     assert got["node"].tolist() == exp["node"].tolist()
     assert (got["dist"].to_numpy()
             == exp["dist"].to_numpy().astype("int64")).all()
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "dataset"])
+def test_sssp_rejects_absent_seed(mode):
+    e = _edges([("a", "b", 1)])
+    with pytest.raises(ValueError, match="not in graph"):
+        weighted_sssp(e, "z", mode=mode, join_partitions=4)
+
+
+def test_sssp_rejects_unknown_mode():
+    e = _edges([("a", "b", 1)])
+    with pytest.raises(ValueError, match="unknown mode"):
+        weighted_sssp(e, "a", mode="broadcst")
