@@ -921,6 +921,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                       inverted_index_stats)
         return inverted_index_stats(_docs(sf_dir, ["doc_id", "text"]))
 
+    def q_latest_event_per_user(sf_dir):
+        """Changelog -> snapshot (SCD upsert dedupe,
+        pipelines/relational.py:latest_event_per_user): per-user
+        argmax via the shuffle-free tree combine on negated
+        (ts, event_id); payload columns fetched winners-only. The
+        full rows never shuffle."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import (
+            latest_event_per_user)
+        return latest_event_per_user(sf_dir)
+
     def q_peak_concurrency(sf_dir):
         """Sweep-line max-overlap per event type
         (pipelines/relational.py:peak_concurrency): one boundary map,
@@ -1534,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": q_revenue_rollup,
         "customer_revenue_deciles": q_customer_revenue_deciles,
         "sssp_events": q_sssp_events,
+        "latest_event_per_user": q_latest_event_per_user,
     }
 
 
@@ -1864,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, AUDIENCE_OVERLAP_SQL, BROADCAST_JOIN_SQL,
         DISTINCT_USERS_SQL, RETENTION_SQL,
+        LATEST_EVENT_SQL,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PEAK_CONCURRENCY_SQL,
         PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
@@ -2023,6 +2036,8 @@ def oracle_sql() -> dict[str, str]:
         # sweep-line max-overlap replays as a window prefix sum; the
         # (t, d) ORDER puts closings before openings at equal
         # instants (half-open intervals), matching the engine's sort
+        # SCD snapshot: row_number desc = the tree argmax's order
+        "latest_event_per_user": LATEST_EVENT_SQL,
         "peak_concurrency": PEAK_CONCURRENCY_SQL.format(
             window_minutes=30),
 

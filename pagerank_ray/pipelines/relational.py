@@ -1269,3 +1269,63 @@ PEAK_CONCURRENCY_SQL = """
     SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
     FROM p GROUP BY 1 ORDER BY 1
 """
+
+
+def latest_event_per_user(sf_dir: str):
+    """The changelog -> snapshot operator (SCD-style upsert dedupe):
+    each user's LATEST event row under the total order
+    (ts DESC, event_id DESC). Returns a Dataset (user_id, event_id,
+    ts, event_type, value) sorted by user_id.
+
+    Scale shape: the per-user argmax runs through the shuffle-free
+    tree combine (``walks.lexmin_per_key`` on negated keys — exact
+    groupby fallback past its one-block bound), so the full rows
+    never enter a shuffle; only the per-user WINNER ids come back,
+    and the payload columns arrive via a broadcast id-set filter on
+    a second scan (flip to a partitioned hash join on event_id when
+    the user count outgrows the broadcast — the returned ids are
+    user-scale, not event-scale)."""
+    from ..graph.walks import lexmin_per_key
+    from ..stages.join import default_join_partitions
+
+    i64 = pa.int64()
+
+    def cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], i64),
+                             "a": pa.array([], i64),
+                             "b": pa.array([], i64)})
+        return pa.table({
+            "key": t.column("user_id"),
+            "a": pa.array(-t.column("ts").cast(i64).to_numpy(), i64),
+            "b": pa.array(-t.column("event_id").to_numpy(), i64)})
+
+    rows = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+            .map_batches(cand, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    win = lexmin_per_key(rows, default_join_partitions()).to_pandas()
+    ids = ray.put(pa.array((-win["b"].to_numpy()).astype(np.int64)))
+
+    def fetch(t: pa.Table, *, ids) -> pa.Table:
+        keys = ray.get(ids) if isinstance(ids, ray.ObjectRef) else ids
+        return t.filter(pc.is_valid(
+            pc.index_in(t.column("event_id"), value_set=keys)))
+
+    return (rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+        .map_batches(fetch, fn_kwargs={"ids": ids},
+                     batch_format="pyarrow")
+        .sort("user_id"))
+
+
+LATEST_EVENT_SQL = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+"""

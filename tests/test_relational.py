@@ -541,3 +541,24 @@ def test_path_counts_tiny_blocks(tmp_path):
     got_map = {(r.t1, r.t2, r.t3): int(r.cnt)
                for r in got.itertuples()}
     assert got_map == want
+
+
+def test_latest_event_per_user_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (LATEST_EVENT_SQL,
+                                                   latest_event_per_user)
+    got = latest_event_per_user(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(LATEST_EVENT_SQL).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # exactly one row per user, and it IS that user's max ts
+    assert got["user_id"].is_unique
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    mx = ev.groupby("user_id")["ts"].max()
+    assert (got.set_index("user_id")["ts"] == mx).all()
