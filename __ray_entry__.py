@@ -921,6 +921,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                       inverted_index_stats)
         return inverted_index_stats(_docs(sf_dir, ["doc_id", "text"]))
 
+    def q_user_activity_reconciliation(sf_dir):
+        """FULL OUTER JOIN reconciliation across two fact tables
+        (pipelines/relational.py:user_activity_reconciliation):
+        per-key counts per side, tag-union + one groupby-sum —
+        absence falls out as a zero, no null handling, no
+        anti-join."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import (
+            user_activity_reconciliation)
+        return user_activity_reconciliation(sf_dir)
+
+    def q_event_type_pivot(sf_dir):
+        """Fixed-category PIVOT (pipelines/relational.py:
+        event_type_pivot): per-user counts spread across a closed
+        category column list + n_other (data-independent schema);
+        per-batch bincount combiners, one groupby."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import event_type_pivot
+        return event_type_pivot(sf_dir)
+
     def q_latest_event_per_user(sf_dir):
         """Changelog -> snapshot (SCD upsert dedupe,
         pipelines/relational.py:latest_event_per_user): per-user
@@ -1546,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_deciles": q_customer_revenue_deciles,
         "sssp_events": q_sssp_events,
         "latest_event_per_user": q_latest_event_per_user,
+        "user_activity_reconciliation": q_user_activity_reconciliation,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -1876,7 +1898,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.relational import (
         ASOF_JOIN_SQL, AUDIENCE_OVERLAP_SQL, BROADCAST_JOIN_SQL,
         DISTINCT_USERS_SQL, RETENTION_SQL,
-        LATEST_EVENT_SQL,
+        LATEST_EVENT_SQL, RECONCILIATION_SQL,
+        event_type_pivot_sql as _pivot_sql,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PEAK_CONCURRENCY_SQL,
         PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
@@ -2038,6 +2061,10 @@ def oracle_sql() -> dict[str, str]:
         # instants (half-open intervals), matching the engine's sort
         # SCD snapshot: row_number desc = the tree argmax's order
         "latest_event_per_user": LATEST_EVENT_SQL,
+        # FULL OUTER JOIN replays the tag-union zero semantics
+        "user_activity_reconciliation": RECONCILIATION_SQL,
+        # fixed-category pivot via FILTER aggregates
+        "event_type_pivot": _pivot_sql(),
         "peak_concurrency": PEAK_CONCURRENCY_SQL.format(
             window_minutes=30),
 

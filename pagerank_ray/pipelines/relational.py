@@ -1329,3 +1329,122 @@ LATEST_EVENT_SQL = """
     WHERE rn = 1
     ORDER BY user_id
 """
+
+
+def user_activity_reconciliation(sf_dir: str):
+    """FULL OUTER JOIN reconciliation between two fact tables: every
+    user_id/custkey appearing in events OR orders, with both activity
+    counts (0 where absent). Returns a Dataset (user_id, n_events,
+    n_orders) sorted by user_id, exact int64.
+
+    Scale shape: the outer join never materializes as a join at all —
+    each side reduces to per-key counts with per-batch combiners,
+    the two count tables UNION with the counts in separate columns
+    (the tag-union discipline: (k, n, 0) vs (k, 0, n)), and one
+    groupby-sum reconciles. Absence falls out as a zero, so there is
+    no null handling and no anti-join."""
+    i64 = pa.int64()
+
+    def side(col: str, out: str, other: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"user_id": pa.array([], i64),
+                                 "n_events": pa.array([], i64),
+                                 "n_orders": pa.array([], i64)})
+            g = (pa.table({"user_id": t.column(col)})
+                 .group_by(["user_id"])
+                 .aggregate([("user_id", "count")]))
+            n = g.column("user_id_count").cast(i64)
+            z = pa.array(np.zeros(g.num_rows, np.int64), i64)
+            return pa.table({"user_id": g.column("user_id"),
+                             out: n, other: z}
+                            ).select(["user_id", "n_events",
+                                      "n_orders"])
+        return f
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id"])
+          .map_batches(side("user_id", "n_events", "n_orders"),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    od = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey"])
+          .map_batches(side("o_custkey", "n_orders", "n_events"),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    return (ev.union(od).groupby("user_id")
+            .aggregate(rd.aggregate.Sum("n_events",
+                                        alias_name="n_events"),
+                       rd.aggregate.Sum("n_orders",
+                                        alias_name="n_orders"))
+            .sort("user_id"))
+
+
+RECONCILIATION_SQL = """
+    WITH e AS (SELECT user_id, COUNT(*) AS n_events
+               FROM events GROUP BY 1),
+         o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON o.user_id = e.user_id
+    ORDER BY 1
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str, types=_PIVOT_TYPES):
+    """The fixed-category PIVOT: per-user event counts spread across
+    one column per (closed, a-priori) category list, plus n_other for
+    anything outside it — so the output schema never depends on the
+    data. Returns a Dataset (user_id, n_<type>..., n_other) sorted by
+    user_id, exact int64.
+
+    Scale shape: per-batch combiners reduce each batch to one row
+    per (user, batch) with the counts already spread (a bincount over
+    category codes — no per-category pass); one groupby sums the
+    columns. The category list rides the closure, never the wire."""
+    i64 = pa.int64()
+    tlist = list(types)
+    cols = [f"n_{t}" for t in tlist] + ["n_other"]
+    cats = pa.array(tlist, pa.string())
+
+    def spread(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], i64),
+                             **{c: pa.array([], i64) for c in cols}})
+        u = t.column("user_id").to_numpy()
+        code = pc.index_in(t.column("event_type"),
+                           value_set=cats).to_numpy(
+                               zero_copy_only=False)
+        code = np.where(code == code, code, len(tlist)).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        m = np.zeros((len(uu), len(tlist) + 1), np.int64)
+        np.add.at(m, (inv, code), 1)
+        return pa.table({"user_id": pa.array(uu, i64),
+                         **{c: pa.array(m[:, i], i64)
+                            for i, c in enumerate(cols)}})
+
+    agg = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"])
+           .map_batches(spread, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("user_id")
+           .aggregate(*[rd.aggregate.Sum(c, alias_name=c)
+                        for c in cols]))
+    return agg.sort("user_id")
+
+
+def event_type_pivot_sql(types=_PIVOT_TYPES) -> str:
+    cases = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in types)
+    in_list = ", ".join(f"'{t}'" for t in types)
+    return f"""
+    SELECT user_id,
+           {cases},
+           COUNT(*) FILTER (WHERE event_type NOT IN ({in_list}))
+               AS n_other
+    FROM events GROUP BY 1 ORDER BY 1
+"""

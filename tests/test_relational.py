@@ -562,3 +562,47 @@ def test_latest_event_per_user_matches_duckdb():
                        columns=["user_id", "ts"]).to_pandas()
     mx = ev.groupby("user_id")["ts"].max()
     assert (got.set_index("user_id")["ts"] == mx).all()
+
+
+def test_user_activity_reconciliation_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (
+        RECONCILIATION_SQL, user_activity_reconciliation)
+    got = user_activity_reconciliation(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(RECONCILIATION_SQL).df()
+    assert len(got) == len(exp) and len(got) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+    # totals reconcile with the raw tables
+    import pyarrow.parquet as pq
+    assert got["n_events"].sum() == \
+        pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert got["n_orders"].sum() == \
+        pq.read_metadata(f"{SF}/orders.parquet").num_rows
+
+
+def test_event_type_pivot_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (event_type_pivot,
+                                                   event_type_pivot_sql)
+    got = event_type_pivot(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(event_type_pivot_sql()).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+    # unknown categories land in n_other (closed-list semantics)
+    few = event_type_pivot(SF, types=("click",)).to_pandas()
+    assert (few["n_click"] + few["n_other"]
+            == got.drop(columns="user_id").sum(axis=1)).all()
