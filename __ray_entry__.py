@@ -921,6 +921,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                       inverted_index_stats)
         return inverted_index_stats(_docs(sf_dir, ["doc_id", "text"]))
 
+    def q_events_profile(sf_dir):
+        """Data-quality table profile
+        (pipelines/relational.py:table_profile): per-column (n_rows,
+        n_null, n_distinct) — distinct shuffles carry batch-deduped
+        values; float/timestamp columns recode injectively to int64
+        bit patterns so no float equality crosses the wire."""
+        _quiet()
+        import ray.data as _rd
+
+        from pagerank_ray.pipelines.relational import table_profile
+        cols = ["event_id", "ts", "user_id", "event_type", "value",
+                "props"]
+        return table_profile(
+            _rd.read_parquet(f"{sf_dir}/events.parquet"), cols)
+
+    def q_hll_distinct_per_type(sf_dir):
+        """Per-group HLL distinct users
+        (functions/sketch.py:hll_distinct_per_group): mergeable
+        sketches AS the groupby aggregate — one (group, registers)
+        row per (group, batch) crosses the wire; splitmix64 +
+        register replay gives the approximate sketch an exact SQL
+        value-hash oracle, per group."""
+        _quiet()
+        import ray.data as _rd
+
+        from pagerank_ray.functions.sketch import hll_distinct_per_group
+        ds = _rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "user_id"])
+        return hll_distinct_per_group(ds, "event_type", "user_id")
+
     def q_user_activity_reconciliation(sf_dir):
         """FULL OUTER JOIN reconciliation across two fact tables
         (pipelines/relational.py:user_activity_reconciliation):
@@ -1568,6 +1598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q_latest_event_per_user,
         "user_activity_reconciliation": q_user_activity_reconciliation,
         "event_type_pivot": q_event_type_pivot,
+        "hll_distinct_per_type": q_hll_distinct_per_type,
+        "events_profile": q_events_profile,
     }
 
 
@@ -1879,6 +1911,8 @@ def oracle_sql() -> dict[str, str]:
     from pagerank_ray.pipelines.curation import CURATE_SQL
     from pagerank_ray.functions.sketch import \
         hll_distinct_sql as _hll_sql
+    from pagerank_ray.functions.sketch import \
+        hll_distinct_per_group_sql as _hll_group_sql
     from pagerank_ray.pipelines.dedup import \
         embedding_lsh_pairs_sql as _emb_lsh_sql
     from pagerank_ray.pipelines.pretrain import \
@@ -1900,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         DISTINCT_USERS_SQL, RETENTION_SQL,
         LATEST_EVENT_SQL, RECONCILIATION_SQL,
         event_type_pivot_sql as _pivot_sql,
+        events_profile_sql as _profile_sql,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PEAK_CONCURRENCY_SQL,
         PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
@@ -2063,6 +2098,12 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": LATEST_EVENT_SQL,
         # FULL OUTER JOIN replays the tag-union zero semantics
         "user_activity_reconciliation": RECONCILIATION_SQL,
+        # per-group HLL: same splitmix64/register replay, GROUP BY g
+        "hll_distinct_per_type": _hll_group_sql(),
+        # profile: COUNT DISTINCT per column, one UNION ALL arm each
+        "events_profile": _profile_sql(
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"]),
         # fixed-category pivot via FILTER aggregates
         "event_type_pivot": _pivot_sql(),
         "peak_concurrency": PEAK_CONCURRENCY_SQL.format(

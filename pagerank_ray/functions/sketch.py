@@ -208,3 +208,102 @@ def splitmix64_subquery(column: str, table: str) -> str:
                            + 11400714819323198485) % {_M64_SQL}
                      AS UBIGINT) AS z
               FROM {table}))))"""
+
+
+def hll_distinct_per_group(ds, group_col: str, column: str,
+                           p: int = 12) -> pa.Table:
+    """Approximate distinct count of ``column`` PER GROUP — the
+    mergeable-sketch-as-groupby-aggregate shape: each batch emits one
+    (group, sketch) row per group present (a bincount-built register
+    array per group, still one small row per (group, batch)); the
+    driver merges register-wise per group and evaluates the estimate.
+    Returns (group, estimate) sorted by group, estimate as exact
+    int64 of the rounded HLL value (a deterministic function of the
+    registers, so the DuckDB replay hash-matches it exactly).
+
+    Only the INTEGER-column splitmix64 path is offered — it is the
+    one with an exact SQL replay (``hll_distinct_per_group_sql``)."""
+    i64, s = pa.int64(), pa.string()
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], s),
+                             "sketch": pa.array([], pa.binary())})
+        gcol = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(column).to_numpy()
+        groups, inv = np.unique(gcol, return_inverse=True)
+        out = []
+        for gi in range(len(groups)):
+            h = HyperLogLog(p)
+            h.add_ints(v[inv == gi])
+            out.append(h.to_bytes())
+        return pa.table({"g": pa.array([str(x) for x in groups], s),
+                         "sketch": pa.array(out, pa.binary())})
+
+    merged: dict[str, HyperLogLog] = {}
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        g = row["g"]
+        if g in merged:
+            merged[g].merge(HyperLogLog.from_bytes(row["sketch"], p))
+        else:
+            merged[g] = HyperLogLog.from_bytes(row["sketch"], p)
+    groups = sorted(merged)
+    return pa.table({
+        group_col: pa.array(groups, s),
+        "estimate": pa.array([int(round(merged[g].estimate()))
+                              for g in groups], i64)})
+
+
+def hll_distinct_per_group_sql(group_col: str = "event_type",
+                               column: str = "user_id",
+                               table: str = "events",
+                               p: int = 12) -> str:
+    """Per-group variant of ``hll_distinct_sql``: the identical
+    splitmix64 / register / estimate replay with ``group_col``
+    carried through every stage and a final GROUP BY."""
+    m64 = _M64_SQL
+    mulmod = _mulmod_sql
+    m = 1 << p
+    idx_div = 1 << (64 - p)
+    zero_rank = 64 - p + 1
+    return f"""
+        WITH u AS (SELECT DISTINCT {group_col} AS g, {column}
+                   FROM {table}),
+         s1 AS (SELECT g, CAST((((CAST({column} AS HUGEINT) % {m64})
+                              + {m64}) % {m64}
+                             + 11400714819323198485) % {m64}
+                       AS UBIGINT) AS z
+                FROM u),
+         s2 AS (SELECT g, CAST({mulmod('xor(z, z // 1073741824)',
+                                       0xBF58476D1CE4E5B9)}
+                            AS UBIGINT) AS z FROM s1),
+         s3 AS (SELECT g, CAST({mulmod('xor(z, z // 134217728)',
+                                       0x94D049BB133111EB)}
+                            AS UBIGINT) AS z FROM s2),
+         h AS (SELECT g, xor(z, z // 2147483648) AS h FROM s3),
+         ranked AS (SELECT g, CAST(h // {idx_div} AS BIGINT) AS idx,
+                           CASE WHEN (CAST(h AS HUGEINT) * {m})
+                                     % {m64} = 0
+                                THEN {zero_rank}
+                                ELSE 65 - length(bin(CAST(
+                                     (CAST(h AS HUGEINT) * {m}) % {m64}
+                                     AS UBIGINT)))
+                           END AS rank
+                    FROM h),
+         regs AS (SELECT g, idx, max(rank) AS r FROM ranked
+                  GROUP BY g, idx),
+         agg AS (SELECT g, {m} - COUNT(*) AS zeros,
+                        SUM(power(2.0, -r)) AS nz_sum FROM regs
+                 GROUP BY g),
+         est AS (SELECT g, CASE
+                    WHEN (0.7213 / (1 + 1.079 / {m})) * {m}.0 * {m}.0
+                         / (zeros + nz_sum) <= 2.5 * {m} AND zeros > 0
+                    THEN {m}.0 * ln({m}.0 / zeros)
+                    ELSE (0.7213 / (1 + 1.079 / {m})) * {m}.0 * {m}.0
+                         / (zeros + nz_sum)
+                 END AS e FROM agg)
+        SELECT g AS {group_col},
+               CAST(round(e) AS BIGINT) AS estimate
+        FROM est ORDER BY 1
+    """

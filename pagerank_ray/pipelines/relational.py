@@ -1448,3 +1448,92 @@ def event_type_pivot_sql(types=_PIVOT_TYPES) -> str:
                AS n_other
     FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def table_profile(ds, columns):
+    """Data-quality profile: one row per column with (n_rows, n_null,
+    n_distinct) — the ingest-validation operator. Exact int64;
+    returns a pa.Table sorted by column name.
+
+    Scale shape: one pass per column — a per-batch combiner emits the
+    batch's DEDUPED values (float64/timestamp columns go through
+    their int64 BIT PATTERNS, an injective recode, so every distinct
+    shuffle runs on int64/string keys and float equality semantics
+    never cross the wire) plus a (rows, nulls) scalar partial; one
+    groupby-count per column reduces to the distinct count. The
+    shuffles carry batch-deduped values, never raw rows."""
+    i64, s = pa.int64(), pa.string()
+    stats = {}
+
+    for col in columns:
+        def partial(t: pa.Table, *, col=col) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"k": pa.array([], s),
+                                 "rows": pa.array([], i64),
+                                 "nulls": pa.array([], i64)})
+            c = t.column(col).combine_chunks()
+            nulls = c.null_count
+            valid = c.drop_null()
+            if pa.types.is_floating(valid.type):
+                keys = pa.array(valid.to_numpy(zero_copy_only=False)
+                                .view(np.int64).astype(str), s)
+            elif pa.types.is_temporal(valid.type) or \
+                    pa.types.is_integer(valid.type):
+                keys = valid.cast(i64).cast(s)
+            else:
+                keys = valid.cast(s)
+            u = pc.unique(keys)
+            rows = np.zeros(len(u), np.int64)
+            nl = np.zeros(len(u), np.int64)
+            if len(u) > 0:
+                rows[0] = t.num_rows
+                nl[0] = nulls
+                return pa.table({"k": u, "rows": pa.array(rows, i64),
+                                 "nulls": pa.array(nl, i64)})
+            return pa.table({"k": pa.array(["\x00all-null"], s),
+                             "rows": pa.array([t.num_rows], i64),
+                             "nulls": pa.array([nulls], i64)})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("k")
+               .aggregate(rd.aggregate.Sum("rows", alias_name="rows"),
+                          rd.aggregate.Sum("nulls",
+                                           alias_name="nulls")))
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            real = k != "\x00all-null"
+            return pa.table({
+                "n_rows": pa.array(
+                    [int(t.column("rows").to_numpy().sum())], i64),
+                "n_null": pa.array(
+                    [int(t.column("nulls").to_numpy().sum())], i64),
+                "n_distinct": pa.array([int(real.sum())], i64)})
+
+        r = (agg.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True)
+             .aggregate(rd.aggregate.Sum("n_rows",
+                                         alias_name="n_rows"),
+                        rd.aggregate.Sum("n_null",
+                                         alias_name="n_null"),
+                        rd.aggregate.Sum("n_distinct",
+                                         alias_name="n_distinct")))
+        stats[col] = (int(r["n_rows"] or 0), int(r["n_null"] or 0),
+                      int(r["n_distinct"] or 0))
+
+    names = sorted(stats)
+    return pa.table({
+        "column": pa.array(names, s),
+        "n_rows": pa.array([stats[c][0] for c in names], i64),
+        "n_null": pa.array([stats[c][1] for c in names], i64),
+        "n_distinct": pa.array([stats[c][2] for c in names], i64)})
+
+
+def events_profile_sql(columns) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct FROM events"""
+        for c in columns]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'

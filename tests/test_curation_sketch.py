@@ -127,3 +127,31 @@ def test_hll_sql_oracle_matches_engine():
         h = HyperLogLog(p=12)
         h.add_ints(vals)
         assert sql_est == int(np.floor(h.estimate() + 0.5))
+
+
+def test_hll_distinct_per_group_matches_duckdb_and_truth():
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pagerank_ray.functions.sketch import (
+        hll_distinct_per_group, hll_distinct_per_group_sql)
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got = hll_distinct_per_group(ds, "event_type", "user_id"
+                                 ).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = con.execute(hll_distinct_per_group_sql()).df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert (got["estimate"].to_numpy()
+            == exp["estimate"].to_numpy().astype("int64")).all()
+    # estimates within HLL error of the exact truth (p=12 -> ~1.6%)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    truth = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in got.iterrows():
+        t = truth[r.event_type]
+        assert abs(r.estimate - t) <= max(3, 0.1 * t)

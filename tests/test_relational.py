@@ -606,3 +606,43 @@ def test_event_type_pivot_matches_duckdb():
     few = event_type_pivot(SF, types=("click",)).to_pandas()
     assert (few["n_click"] + few["n_other"]
             == got.drop(columns="user_id").sum(axis=1)).all()
+
+
+def test_table_profile_matches_duckdb(tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.relational import (events_profile_sql,
+                                                   table_profile)
+    cols = ["event_id", "ts", "user_id", "event_type", "value",
+            "props"]
+    got = table_profile(
+        rd.read_parquet(f"{SF}/events.parquet"), cols).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(events_profile_sql(cols)).df()
+    assert got["column"].tolist() == exp["column"].tolist()
+    for c in ("n_rows", "n_null", "n_distinct"):
+        assert (got[c].to_numpy()
+                == exp[c].to_numpy().astype("int64")).all(), c
+
+    # nulls + near-equal floats: bit-pattern recode keeps distinct
+    # semantics exact (0.1+0.2 != 0.3 is TWO distinct doubles)
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "value": pa.array([0.1 + 0.2, 0.3, 0.3, None], pa.float64()),
+    }), d / "events.parquet")
+    p = table_profile(rd.read_parquet(str(d / "events.parquet")),
+                      ["value"]).to_pandas()
+    assert p.iloc[0].tolist() == ["value", 4, 1, 2]
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM "
+                 f"read_parquet('{d}/events.parquet')")
+    e2 = con2.execute(events_profile_sql(["value"])).df()
+    assert p.values.tolist() == [
+        [e2["column"][0], int(e2.n_rows[0]), int(e2.n_null[0]),
+         int(e2.n_distinct[0])]]
