@@ -439,6 +439,38 @@ def bench_walks_scale() -> dict:
             "edges": CC_M}
 
 
+def bench_sssp_scale() -> dict:
+    """Weighted SSSP (delta-frontier Bellman-Ford) over the 10M-edge
+    power-law graph, 250k int64 nodes: deterministic weights
+    w = (lo*31+hi) % 7 + 1 on the canonical pair; the node set fits
+    the driver so the BROADCAST path runs — edges int32-encoded once,
+    one relax scan per round, vocabulary-bounded partials back."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.graph.bfs import weighted_sssp
+
+    d = _ensure_walk_edges(CC_N, CC_M)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        v = t.column("dst").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(s, v), np.maximum(s, v)
+        return pa.table({"u": t.column("src"), "v": t.column("dst"),
+                         "w": pa.array((lo * 31 + hi) % 7 + 1,
+                                       pa.int64())})
+
+    edges = rd.read_parquet(d).map_batches(
+        weigh, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    t0 = time.time()
+    out = weighted_sssp(edges, 0, max_rounds=256)
+    return {"sec": time.time() - t0, "edges": CC_M,
+            "reached": out.num_rows,
+            "rounds": int(out.schema.metadata[b"rounds_used"])}
+
+
 def bench_propagation_scale() -> dict:
     """2-hop GNN feature propagation (y = A·f twice, f = 1, exact
     ints) over the 10M-edge power-law graph: broadcast feature
@@ -549,6 +581,7 @@ COMPONENTS = {
     "scc": bench_scc,
     "walks_scale": bench_walks_scale,
     "propagation_scale": bench_propagation_scale,
+    "sssp_scale": bench_sssp_scale,
     "events_pagerank": bench_events_pagerank,
     "dedup_docs": bench_dedup_docs,
     "text_quality": bench_text_quality,

@@ -226,9 +226,11 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     weights — delta-frontier Bellman-Ford as a pure Dataset
     composition. ``edges`` is a Dataset (u, v, w) of DIRECTED
     weighted edges (symmetrize before calling for undirected
-    semantics); ``seed`` the source node (string, must be a node of
-    the graph — ValueError otherwise, the resolve_seed_ids
-    discipline). Returns a pyarrow TABLE (node, dist) for every
+    semantics; u/v may be string OR int64 node columns — the node
+    type is taken from the edge schema); ``seed`` the source node
+    (must be a node of the graph — ValueError otherwise, the
+    resolve_seed_ids discipline). Returns a pyarrow TABLE
+    (node, dist) for every
     reached node, exact int64, sorted by node — the result is
     node-scale and lands on the driver as the contract form (the
     actor-based ``bfs_distances`` covers the distributed-sink path;
@@ -253,7 +255,9 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
 
     if mode not in ("auto", "broadcast", "dataset"):
         raise ValueError(f"unknown mode {mode!r}")
-    i64, s = pa.int64(), pa.string()
+    i64 = pa.int64()
+    sch = edges.schema()
+    s = sch.types[sch.names.index("u")]  # node type: string or int64
     nparts = join_partitions or default_join_partitions()
     edge_schema = [("u", s), ("v", s), ("w", i64)]
 
@@ -263,20 +267,42 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     # "dataset" forces the fully-distributed rounds (path-equality
     # pinned by test).
     if mode in ("auto", "broadcast"):
+        # node universe via TREE DEDUPE (per-batch pc.unique +
+        # positional repartition at fan-in 8 — the treeagg
+        # discipline; a hash groupby on the 2|E| endpoint rows
+        # measured 53 s where the tree takes ~1 s on the 10M-edge
+        # bench graph). Bails to the Dataset path if the universe
+        # outgrows the broadcast cap mid-tree.
         def both_ends(t: pa.Table) -> pa.Table:
-            return pa.table({"u": pa.concat_arrays(
+            return pa.table({"u": pc.unique(pa.concat_arrays(
                 [t.column("u").combine_chunks(),
-                 t.column("v").combine_chunks()])})
+                 t.column("v").combine_chunks()]))})
 
-        distinct = (edges.map_batches(both_ends,
-                                      batch_format="pyarrow",
-                                      zero_copy_batch=True)
-                    .groupby("u").count().materialize())
-        n_nodes = distinct.count()
-        if mode == "broadcast" or n_nodes <= SSSP_BROADCAST_MAX_NODES:
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table({"u": pc.unique(
+                t.column("u").combine_chunks())})
+
+        cur = edges.map_batches(both_ends, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        too_big = False
+        while cur.num_blocks() > 1:
+            if cur.count() > 8 * SSSP_BROADCAST_MAX_NODES:
+                too_big = True
+                break
+            cur = (cur.repartition(max(1, cur.num_blocks() // 8))
+                   .map_batches(uniq, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize())
+        n_nodes = None if too_big else cur.count()
+        if too_big and mode == "broadcast":
+            raise ValueError(
+                "mode='broadcast' but the node universe exceeds "
+                f"{SSSP_BROADCAST_MAX_NODES}")
+        if not too_big and (mode == "broadcast"
+                            or n_nodes <= SSSP_BROADCAST_MAX_NODES):
+            dtype = object if pa.types.is_string(s) else np.int64
             nodes = np.array(sorted(r["u"] for r in
-                                    distinct.take_all()),
-                             dtype=object)
+                                    cur.take_all()),
+                             dtype=dtype)
             si = int(np.searchsorted(nodes, seed))
             if si >= len(nodes) or nodes[si] != seed:
                 raise ValueError(f"seed node {seed!r} not in graph")
@@ -293,8 +319,9 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     # node array; mirror it here so the two paths agree on bad input)
     def seed_hits(t: pa.Table) -> pa.Table:
         hit = pc.sum(pc.cast(pc.or_(
-            pc.equal(t.column("u"), pa.scalar(seed)),
-            pc.equal(t.column("v"), pa.scalar(seed))), i64)).as_py()
+            pc.equal(t.column("u"), pa.scalar(seed, s)),
+            pc.equal(t.column("v"), pa.scalar(seed, s))),
+            i64)).as_py()
         return pa.table({"n": pa.array([int(hit or 0)], i64)})
 
     if not (edges.map_batches(seed_hits, batch_format="pyarrow",
@@ -382,17 +409,44 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
 SSSP_BROADCAST_MAX_NODES = 2_000_000  # dist vector must fit the driver
 
 
+@ray.remote
+def _sssp_relax_block(block: pa.Table, dref) -> pa.Table:
+    """One relaxation pass over one PINNED encoded edge block: gather
+    active-source candidates, per-block per-target arrow group-min.
+    Returns a (vi, nd) table bounded by the block's target
+    vocabulary."""
+    i32, i64 = pa.int32(), pa.int64()
+    d_, act_ = dref if isinstance(dref, tuple) else ray.get(dref)
+    empty = pa.table({"vi": pa.array([], i32),
+                      "nd": pa.array([], i64)})
+    if block.num_rows == 0:
+        return empty
+    ui = block.column("ui").to_numpy(zero_copy_only=False)
+    keep = act_[ui]
+    if not keep.any():
+        return empty
+    cand = (d_[ui[keep]]
+            + block.column("w").to_numpy(zero_copy_only=False)[keep])
+    g = (pa.table({"vi": block.column("vi").filter(pa.array(keep)),
+                   "nd": pa.array(cand, i64)})
+         .group_by(["vi"]).aggregate([("nd", "min")]))
+    return pa.table({"vi": g.column("vi"), "nd": g.column("nd_min")})
+
+
 def _sssp_broadcast(edges, nodes, seed_idx: int,
                     max_rounds: int):
     """Broadcast Bellman-Ford rounds for graphs whose NODE SET fits
     the driver (the _mis_broadcast precedent): the edge endpoints are
     ENCODED to int32 node positions ONCE (a single searchsorted pass
-    over the string columns — rounds never touch strings again); per
-    round the dist vector ships via ray.put, one distributed edge
-    scan emits per-batch per-target relaxation minima (bounded by
-    the batch vocabulary), and the driver folds the tiny partials.
-    The edge table never moves; beyond SSSP_BROADCAST_MAX_NODES the
-    Dataset round loop runs instead (bit-equal — pinned by test)."""
+    over the node columns — rounds never touch them again) and the
+    encoded blocks PIN in the object store; each round ships the
+    dist vector via ray.put and launches one RAW TASK per block (the
+    _block_edges discipline — no per-round Dataset executor spin-up),
+    each returning per-target relaxation minima bounded by its
+    block's vocabulary; the driver folds them with one sorted
+    reduceat. The edge table never moves; beyond
+    SSSP_BROADCAST_MAX_NODES the Dataset round loop runs instead
+    (bit-equal — pinned by test)."""
     i32, i64 = pa.int32(), pa.int64()
     nref = ray.put(nodes)
 
@@ -414,6 +468,8 @@ def _sssp_broadcast(edges, nodes, seed_idx: int,
     enc = edges.map_batches(encode, fn_kwargs={"nref": nref},
                             batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
+    block_refs = [ref for bundle in enc.iter_internal_ref_bundles()
+                  for ref, _ in bundle.blocks]
 
     INF = np.int64(2**62)
     dist = np.full(len(nodes), INF, np.int64)
@@ -423,43 +479,30 @@ def _sssp_broadcast(edges, nodes, seed_idx: int,
 
     for rounds in range(1, max_rounds + 1):
         dref = ray.put((dist, active))
-
-        def relax(t: pa.Table, *, dref) -> pa.Table:
-            d_, act_ = ray.get(dref) if isinstance(
-                dref, ray.ObjectRef) else dref
-            empty = pa.table({"vi": pa.array([], i32),
-                              "nd": pa.array([], i64)})
-            if t.num_rows == 0:
-                return empty
-            ui = t.column("ui").to_numpy(zero_copy_only=False)
-            keep = act_[ui]
-            if not keep.any():
-                return empty
-            cand = (d_[ui[keep]]
-                    + t.column("w").to_numpy(
-                        zero_copy_only=False)[keep])
-            g = (pa.table({"vi": t.column("vi").filter(pa.array(keep)),
-                           "nd": pa.array(cand, i64)})
-                 .group_by(["vi"]).aggregate([("nd", "min")]))
-            return pa.table({"vi": g.column("vi"),
-                             "nd": g.column("nd_min")})
-
-        parts = enc.map_batches(relax, fn_kwargs={"dref": dref},
-                                batch_format="pyarrow",
-                                zero_copy_batch=True).take_all()
+        parts = ray.get([_sssp_relax_block.remote(b, dref)
+                         for b in block_refs])
+        # vectorized fold: sorted reduceat min per target, then one
+        # compare-and-set against the dist vector
+        vi = np.concatenate(
+            [t.column("vi").to_numpy(zero_copy_only=False)
+             for t in parts]) if parts else np.array([], np.int64)
+        nd = np.concatenate(
+            [t.column("nd").to_numpy(zero_copy_only=False)
+             for t in parts]) if parts else np.array([], np.int64)
         active = np.zeros(len(nodes), bool)
-        changed = 0
-        agg: dict = {}
-        for r in parts:
-            vi, nd = r["vi"], r["nd"]
-            if nd < agg.get(vi, INF):
-                agg[vi] = nd
-        for vi, nd in agg.items():
-            if nd < dist[vi]:
-                dist[vi] = nd
-                active[vi] = True
-                changed += 1
-        if changed == 0:
+        if len(vi) == 0:
             return dist, rounds
+        order = np.argsort(vi, kind="stable")
+        vi, nd = vi[order], nd[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(vi[1:] != vi[:-1]) + 1])
+        tgt = vi[starts].astype(np.int64)
+        best = np.minimum.reduceat(nd, starts)
+        better = best < dist[tgt]
+        tgt, best = tgt[better], best[better]
+        if len(tgt) == 0:
+            return dist, rounds
+        dist[tgt] = best
+        active[tgt] = True
     raise RuntimeError(
         f"weighted_sssp did not converge in {max_rounds} rounds")
