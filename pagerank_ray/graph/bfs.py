@@ -221,7 +221,7 @@ def closeness_stats(graph_dir: str, seed_ids,
 
 def weighted_sssp(edges, seed: str, max_rounds: int = 64,
                   join_partitions: int | None = None,
-                  mode: str = "auto"):
+                  mode: str = "auto", out_dir: str | None = None):
     """Single-source shortest paths with positive integer edge
     weights — delta-frontier Bellman-Ford as a pure Dataset
     composition. ``edges`` is a Dataset (u, v, w) of DIRECTED
@@ -230,12 +230,13 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     type is taken from the edge schema); ``seed`` the source node
     (must be a node of the graph — ValueError otherwise, the
     resolve_seed_ids discipline). Returns a pyarrow TABLE
-    (node, dist) for every
-    reached node, exact int64, sorted by node — the result is
-    node-scale and lands on the driver as the contract form (the
-    actor-based ``bfs_distances`` covers the distributed-sink path;
-    this operator adds WEIGHTS); ``rounds_used`` rides the schema
-    metadata for the engine-asserts-oracle-bound tests.
+    (node, dist) for every reached node, exact int64, sorted by
+    node, with ``rounds_used`` in the schema metadata (the
+    engine-asserts-oracle-bound tests) — the contract form. With
+    ``out_dir=`` the result instead streams to crash-safe sharded
+    parquet via ``sink.sink_dataset`` and the function returns the
+    (rounds_used, n_reached) dict: on the Dataset path the n-scale
+    result then NEVER lands on the driver.
 
     Per round: the changed frontier joins the edge table
     (partitioned hash join), a per-batch min combiner + groupby-min
@@ -312,6 +313,11 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
             out = pa.table({
                 "node": pa.array(nodes[reached].tolist(), s),
                 "dist": pa.array(distv[reached], i64)})
+            if out_dir is not None:
+                from .sink import sink_dataset
+                sink_dataset(rd.from_arrow(out), out_dir)
+                return {"rounds_used": rounds,
+                        "n_reached": out.num_rows}
             return out.replace_schema_metadata(
                 {b"rounds_used": str(rounds).encode()})
 
@@ -400,6 +406,11 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
             f"weighted_sssp did not converge in {max_rounds} rounds")
 
     out = dist.sort("node")
+    if out_dir is not None:
+        from .sink import sink_dataset
+        n_reached = out.count()
+        sink_dataset(out, out_dir)
+        return {"rounds_used": rounds, "n_reached": n_reached}
     tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     tbl = tbl.cast(pa.schema([("node", s), ("dist", i64)]))
     return tbl.replace_schema_metadata(

@@ -101,3 +101,19 @@ def test_sssp_rejects_unknown_mode():
     e = _edges([("a", "b", 1)])
     with pytest.raises(ValueError, match="unknown mode"):
         weighted_sssp(e, "a", mode="broadcst")
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "dataset"])
+def test_sssp_out_dir_sink_readback(tmp_path, mode):
+    from pagerank_ray.graph.sink import read_sunk_dataset
+
+    e = _edges([("a", "c", 5), ("a", "b", 2), ("b", "c", 2)])
+    d = str(tmp_path / f"sssp_{mode}")
+    res = weighted_sssp(e, "a", mode=mode, join_partitions=4,
+                        out_dir=d)
+    assert res["n_reached"] == 3
+    back = read_sunk_dataset(d).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    want = weighted_sssp(e, "a", mode=mode,
+                         join_partitions=4).to_pandas()
+    assert back.equals(want)
