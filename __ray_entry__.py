@@ -2091,9 +2091,6 @@ def oracle_sql() -> dict[str, str]:
         "modal_event_type_per_user": MODAL_TYPE_SQL,
         "props_key_stats": PROPS_KEY_STATS_SQL,
         "outlier_events": OUTLIER_EVENTS_SQL.format(q=0.9),
-        # sweep-line max-overlap replays as a window prefix sum; the
-        # (t, d) ORDER puts closings before openings at equal
-        # instants (half-open intervals), matching the engine's sort
         # SCD snapshot: row_number desc = the tree argmax's order
         "latest_event_per_user": LATEST_EVENT_SQL,
         # FULL OUTER JOIN replays the tag-union zero semantics
@@ -2106,6 +2103,9 @@ def oracle_sql() -> dict[str, str]:
              "props"]),
         # fixed-category pivot via FILTER aggregates
         "event_type_pivot": _pivot_sql(),
+        # sweep-line max-overlap replays as a window prefix sum; the
+        # (t, d) ORDER puts closings before openings at equal
+        # instants (half-open intervals), matching the engine's sort
         "peak_concurrency": PEAK_CONCURRENCY_SQL.format(
             window_minutes=30),
 

@@ -223,12 +223,15 @@ def hll_distinct_per_group(ds, group_col: str, column: str,
 
     Only the INTEGER-column splitmix64 path is offered — it is the
     one with an exact SQL replay (``hll_distinct_per_group_sql``)."""
-    i64, s = pa.int64(), pa.string()
+    i64 = pa.int64()
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"g": pa.array([], s),
-                             "sketch": pa.array([], pa.binary())})
+            return pa.table({
+                "g": pa.array([], t.schema.field(group_col).type
+                              if group_col in t.column_names
+                              else pa.string()),
+                "sketch": pa.array([], pa.binary())})
         gcol = t.column(group_col).to_numpy(zero_copy_only=False)
         v = t.column(column).to_numpy()
         groups, inv = np.unique(gcol, return_inverse=True)
@@ -237,7 +240,10 @@ def hll_distinct_per_group(ds, group_col: str, column: str,
             h = HyperLogLog(p)
             h.add_ints(v[inv == gi])
             out.append(h.to_bytes())
-        return pa.table({"g": pa.array([str(x) for x in groups], s),
+        # keep the group column in its SOURCE type (an int group
+        # column stringified would reorder '1','10','2' and change
+        # dtype vs the SQL oracle)
+        return pa.table({"g": pa.array(groups.tolist()),
                          "sketch": pa.array(out, pa.binary())})
 
     merged: dict[str, HyperLogLog] = {}
@@ -249,10 +255,13 @@ def hll_distinct_per_group(ds, group_col: str, column: str,
         else:
             merged[g] = HyperLogLog.from_bytes(row["sketch"], p)
     groups = sorted(merged)
+    # floor(x + 0.5): DuckDB round() is half-AWAY-from-zero; Python
+    # round() is half-to-even (the hll_distinct_users discipline)
     return pa.table({
-        group_col: pa.array(groups, s),
-        "estimate": pa.array([int(round(merged[g].estimate()))
-                              for g in groups], i64)})
+        group_col: pa.array(groups),
+        "estimate": pa.array(
+            [int(np.floor(merged[g].estimate() + 0.5))
+             for g in groups], i64)})
 
 
 def hll_distinct_per_group_sql(group_col: str = "event_type",

@@ -287,7 +287,13 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
                                 zero_copy_batch=True).materialize()
         too_big = False
         while cur.num_blocks() > 1:
-            if cur.count() > 8 * SSSP_BROADCAST_MAX_NODES:
+            # bail only near the END of the tree (<= 8 blocks), when
+            # the row count approximates the true distinct count —
+            # early levels still carry per-block duplicates, and
+            # bailing on those would wrongly reject graphs whose
+            # universe fits (e.g. 1M nodes spread over 100 blocks)
+            if cur.num_blocks() <= 8 and \
+                    cur.count() > 4 * SSSP_BROADCAST_MAX_NODES:
                 too_big = True
                 break
             cur = (cur.repartition(max(1, cur.num_blocks() // 8))
@@ -295,9 +301,20 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
                                 zero_copy_batch=True).materialize())
         n_nodes = None if too_big else cur.count()
         if too_big and mode == "broadcast":
-            raise ValueError(
-                "mode='broadcast' but the node universe exceeds "
-                f"{SSSP_BROADCAST_MAX_NODES}")
+            # the tree over-counted or the universe is genuinely too
+            # big: decide with the exact (slow) groupby before
+            # refusing an explicit broadcast request
+            n_nodes = (edges.map_batches(
+                both_ends, batch_format="pyarrow",
+                zero_copy_batch=True).groupby("u").count().count())
+            if n_nodes > SSSP_BROADCAST_MAX_NODES:
+                raise ValueError(
+                    "mode='broadcast' but the node universe "
+                    f"({n_nodes}) exceeds {SSSP_BROADCAST_MAX_NODES}")
+            cur = edges.map_batches(
+                both_ends, batch_format="pyarrow",
+                zero_copy_batch=True).groupby("u").count()
+            too_big = False
         if not too_big and (mode == "broadcast"
                             or n_nodes <= SSSP_BROADCAST_MAX_NODES):
             dtype = object if pa.types.is_string(s) else np.int64
@@ -408,6 +425,7 @@ def weighted_sssp(edges, seed: str, max_rounds: int = 64,
     out = dist.sort("node")
     if out_dir is not None:
         from .sink import sink_dataset
+        out = out.materialize()  # sort once: count + sink share it
         n_reached = out.count()
         sink_dataset(out, out_dir)
         return {"rounds_used": rounds, "n_reached": n_reached}

@@ -1418,9 +1418,16 @@ def event_type_pivot(sf_dir: str, types=_PIVOT_TYPES):
         code = pc.index_in(t.column("event_type"),
                            value_set=cats).to_numpy(
                                zero_copy_only=False)
+        # not-found -> n_other; NULL event_type -> a DISCARD column
+        # (SQL FILTER semantics: NULL NOT IN (...) is NULL, so null
+        # rows count NOWHERE — but their user still groups, as it
+        # does under GROUP BY user_id)
+        isnull = ~pc.is_valid(t.column("event_type")).to_numpy(
+            zero_copy_only=False)
         code = np.where(code == code, code, len(tlist)).astype(np.int64)
+        code[isnull] = len(tlist) + 1
         uu, inv = np.unique(u, return_inverse=True)
-        m = np.zeros((len(uu), len(tlist) + 1), np.int64)
+        m = np.zeros((len(uu), len(tlist) + 2), np.int64)
         np.add.at(m, (inv, code), 1)
         return pa.table({"user_id": pa.array(uu, i64),
                          **{c: pa.array(m[:, i], i64)
@@ -1475,8 +1482,12 @@ def table_profile(ds, columns):
             nulls = c.null_count
             valid = c.drop_null()
             if pa.types.is_floating(valid.type):
-                keys = pa.array(valid.to_numpy(zero_copy_only=False)
-                                .view(np.int64).astype(str), s)
+                # canonicalize before the bit recode: -0.0 -> +0.0
+                # (x + 0.0) and every NaN payload -> one NaN, so
+                # DISTINCT agrees with SQL float equality semantics
+                v = valid.to_numpy(zero_copy_only=False) + 0.0
+                v[np.isnan(v)] = np.nan
+                keys = pa.array(v.view(np.int64).astype(str), s)
             elif pa.types.is_temporal(valid.type) or \
                     pa.types.is_integer(valid.type):
                 keys = valid.cast(i64).cast(s)

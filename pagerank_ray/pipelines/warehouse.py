@@ -44,74 +44,108 @@ def pricing_summary(sf_dir: str):
     """Per (returnflag, linestatus): row count and quantity / price /
     discounted-price / charged sums over lineitems shipped on or
     before _Q1_CUTOFF. Returns (l_returnflag, l_linestatus, sum_qty,
-    sum_base_price, sum_disc_price, sum_charge, count_order)."""
+    sum_base_price, sum_disc_price, sum_charge, count_order).
+
+    Exactness: every input sits on the 2dp grid, so the sums
+    accumulate as EXACT integers — qty, price cents, disc_price in
+    10^-4-dollar units (price_c * (100 - disc_c)) and charge in
+    10^-6 units (* (100 + tax_c)). The two wide units carry as
+    (hi, lo) limbs split at 10^12 (a batch sum stays under 2^63; the
+    limb split keeps the GLOBAL sum exact at any row count), and the
+    final cents round half-away in INTEGER arithmetic, so the float
+    output is identical on both engines by construction — no
+    accumulation-order or .005-boundary sensitivity (which bit a
+    parallel float sum at sf0.001)."""
     cutoff = _ts_us(_Q1_CUTOFF)
+    i64, f64, s = pa.int64(), pa.float64(), pa.string()
+    LIMB = 10 ** 12
+    num_cols = ["sum_qty", "base_c", "disc_hi", "disc_lo",
+                "charge_hi", "charge_lo", "count_order"]
+    empty = pa.table({
+        "l_returnflag": pa.array([], s),
+        "l_linestatus": pa.array([], s),
+        **{c: pa.array([], i64) for c in num_cols}})
 
     def partial(t: pa.Table) -> pa.Table:
-        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        ship = t.column("l_shipdate").cast(i64).to_numpy()
         keep = ship <= cutoff
         if not keep.any():
-            # Explicitly typed empty partial: object-dtype string
-            # columns in an empty pandas frame would convert to Arrow
-            # null type and diverge from non-empty blocks' schema.
-            return pa.table({
-                "l_returnflag": pa.array([], pa.string()),
-                "l_linestatus": pa.array([], pa.string()),
-                "sum_qty": pa.array([], pa.float64()),
-                "sum_base_price": pa.array([], pa.float64()),
-                "sum_disc_price": pa.array([], pa.float64()),
-                "sum_charge": pa.array([], pa.float64()),
-                "count_order": pa.array([], pa.int64())})
+            return empty
+        qty = np.rint(t.column("l_quantity").to_numpy()[keep]
+                      ).astype(np.int64)
+        price_c = _cents(t.column("l_extendedprice").to_numpy()[keep])
+        d_c = np.rint(t.column("l_discount").to_numpy()[keep] * 100.0
+                      ).astype(np.int64)
+        t_c = np.rint(t.column("l_tax").to_numpy()[keep] * 100.0
+                      ).astype(np.int64)
+        disc_u = price_c * (100 - d_c)          # 10^-4 dollars
+        charge_u = disc_u * (100 + t_c)         # 10^-6 dollars
         df = pd.DataFrame({
             "l_returnflag": np.asarray(
-                t.column("l_returnflag").to_pylist(), dtype=object)[keep],
+                t.column("l_returnflag").to_pylist(),
+                dtype=object)[keep],
             "l_linestatus": np.asarray(
-                t.column("l_linestatus").to_pylist(), dtype=object)[keep],
-            "qty": t.column("l_quantity").to_numpy()[keep],
-            "price": t.column("l_extendedprice").to_numpy()[keep],
-        })
-        disc = t.column("l_discount").to_numpy()[keep]
-        tax = t.column("l_tax").to_numpy()[keep]
-        df["disc_price"] = df["price"] * (1.0 - disc)
-        df["charge"] = df["disc_price"] * (1.0 + tax)
+                t.column("l_linestatus").to_pylist(),
+                dtype=object)[keep],
+            "sum_qty": qty, "base_c": price_c,
+            "disc": disc_u, "charge": charge_u, "count_order": 1})
         g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-             .agg(sum_qty=("qty", "sum"),
-                  sum_base_price=("price", "sum"),
-                  sum_disc_price=("disc_price", "sum"),
-                  sum_charge=("charge", "sum"),
-                  count_order=("qty", "size"))
-             .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+             .sum().reset_index())
+        # limb-split the wide sums so groupby-sum stays exact int64
+        out = {"l_returnflag": pa.array(g["l_returnflag"], s),
+               "l_linestatus": pa.array(g["l_linestatus"], s)}
+        for name, col in (("disc", "disc"), ("charge", "charge")):
+            v = g[col].to_numpy()
+            out[f"{name}_hi"] = pa.array(v // LIMB, i64)
+            out[f"{name}_lo"] = pa.array(v % LIMB, i64)
+        for c in ("sum_qty", "base_c", "count_order"):
+            out[c] = pa.array(g[c].to_numpy().astype(np.int64), i64)
+        return pa.table({k: out[k]
+                         for k in ["l_returnflag", "l_linestatus"]
+                         + num_cols})
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+                 "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"])
     out = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
-           .sum(["sum_qty", "sum_base_price", "sum_disc_price",
-                 "sum_charge", "count_order"]))
+           .sum(num_cols))
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({
-                "l_returnflag": pa.array([], pa.string()),
-                "l_linestatus": pa.array([], pa.string()),
-                "sum_qty": pa.array([], pa.float64()),
-                "sum_base_price": pa.array([], pa.float64()),
-                "sum_disc_price": pa.array([], pa.float64()),
-                "sum_charge": pa.array([], pa.float64()),
-                "count_order": pa.array([], pa.int64())})
-        cols = {"l_returnflag": t.column("l_returnflag"),
-                "l_linestatus": t.column("l_linestatus")}
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price",
-                  "sum_charge"):
-            cols[c] = pa.array(
-                np.round(t.column(f"sum({c})").to_numpy(), 2))
-        cols["count_order"] = pc.cast(t.column("sum(count_order)"),
-                                      pa.int64())
-        return pa.table(cols)
+                "l_returnflag": pa.array([], s),
+                "l_linestatus": pa.array([], s),
+                "sum_qty": pa.array([], f64),
+                "sum_base_price": pa.array([], f64),
+                "sum_disc_price": pa.array([], f64),
+                "sum_charge": pa.array([], f64),
+                "count_order": pa.array([], i64)})
+        # exact python ints (O(groups) rows); half-away integer
+        # rounding to cents, then ONE shared float division
+        def exact(hi, lo):
+            return [int(a) * LIMB + int(b) for a, b in zip(
+                t.column(hi).to_pylist(), t.column(lo).to_pylist())]
+        disc = exact("sum(disc_hi)", "sum(disc_lo)")
+        charge = exact("sum(charge_hi)", "sum(charge_lo)")
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": pa.array(
+                [float(x) for x in
+                 t.column("sum(sum_qty)").to_pylist()], f64),
+            "sum_base_price": pa.array(
+                [int(x) / 100.0 for x in
+                 t.column("sum(base_c)").to_pylist()], f64),
+            "sum_disc_price": pa.array(
+                [((x + 50) // 100) / 100.0 for x in disc], f64),
+            "sum_charge": pa.array(
+                [((x + 5000) // 10000) / 100.0 for x in charge], f64),
+            "count_order": pc.cast(t.column("sum(count_order)"),
+                                   i64)})
 
     return out.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -119,12 +153,17 @@ def pricing_summary(sf_dir: str):
 
 PRICING_SUMMARY_SQL = f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-               AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     * (1 + l_tax)), 2) AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+               AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             + 50) // 100) / 100.0 AS sum_disc_price,
+           ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+             + 5000) // 10000) / 100.0 AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
@@ -1226,16 +1265,21 @@ def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_10",
             return pa.table({"l_orderkey": pa.array([], i64),
                              "supp_nat": pa.array([], i64),
                              "l_year": pa.array([], i64),
-                             "rev": pa.array([], pa.float64())})
+                             "rev": pa.array([], i64)})
         posk = pos[keep].astype(np.int64)
         year = pc.year(t2.column("l_shipdate")).cast(i64)
-        price = t2.column("l_extendedprice").to_numpy()
-        disc = t2.column("l_discount").to_numpy()
+        # exact 10^-4-dollar units (inputs sit on the 2dp grid) —
+        # the float sum straddled a .005 rounding boundary at
+        # sf0.001; integer accumulation removes the class
+        d_c = np.rint(t2.column("l_discount").to_numpy() * 100.0
+                      ).astype(np.int64)
+        rev_u = _cents(t2.column("l_extendedprice").to_numpy()) \
+            * (100 - d_c)
         return pa.table({
             "l_orderkey": t2.column("l_orderkey"),
             "supp_nat": pa.array(snation[posk]),
             "l_year": year,
-            "rev": pa.array(price * (1.0 - disc)),
+            "rev": pa.array(rev_u, i64),
         })
 
     lineitem = rd.read_parquet(
@@ -1250,17 +1294,20 @@ def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_10",
                    right_on=("o_orderkey",),
                    left_schema=[("l_orderkey", i64),
                                 ("supp_nat", i64), ("l_year", i64),
-                                ("rev", pa.float64())],
+                                ("rev", i64)],
                    right_schema=[("o_orderkey", i64),
                                  ("o_custkey", i64),
                                  ("c_nationkey", pa.int32())]
                    ).repartition(nparts)
 
+    LIMB = 10 ** 12
+
     def pair_partial(t: pa.Table) -> pa.Table:
         cols = {"supp_nat": pa.array([], i64),
                 "cust_nat": pa.array([], i64),
                 "l_year": pa.array([], i64),
-                "rev": pa.array([], pa.float64())}
+                "rev_hi": pa.array([], i64),
+                "rev_lo": pa.array([], i64)}
         if t.num_rows == 0:
             return pa.table(cols)
         sn = t.column("supp_nat").to_numpy(zero_copy_only=False)
@@ -1276,11 +1323,18 @@ def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_10",
                 "rev": t.column("rev").to_numpy()[keep]})
               .groupby(["supp_nat", "cust_nat", "l_year"], sort=False)
               .sum().reset_index())
-        return pa.Table.from_pandas(df, preserve_index=False)
+        v = df["rev"].to_numpy()
+        return pa.table({
+            "supp_nat": pa.array(df["supp_nat"].to_numpy(), i64),
+            "cust_nat": pa.array(df["cust_nat"].to_numpy(), i64),
+            "l_year": pa.array(df["l_year"].to_numpy(), i64),
+            "rev_hi": pa.array(v // LIMB, i64),
+            "rev_lo": pa.array(v % LIMB, i64)})
 
     agg = (j2.map_batches(pair_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby(["supp_nat", "cust_nat", "l_year"]).sum("rev"))
+           .groupby(["supp_nat", "cust_nat", "l_year"])
+           .sum(["rev_hi", "rev_lo"]))
     t = agg.to_pandas()
     f64 = pa.float64()
     if t.empty:
@@ -1289,20 +1343,24 @@ def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_10",
                          "l_year": pa.array([], i64),
                          "revenue": pa.array([], f64)})
     t = t.sort_values(["supp_nat", "cust_nat", "l_year"])
+    exact = [int(a) * LIMB + int(b) for a, b in
+             zip(t["sum(rev_hi)"], t["sum(rev_lo)"])]
     return pa.table({
         "supp_nation": pa.array([names[k] for k in t["supp_nat"]], s),
         "cust_nation": pa.array([names[k] for k in t["cust_nat"]], s),
         "l_year": pa.array(t["l_year"].to_numpy().astype(np.int64),
                            i64),
-        "revenue": pa.array(np.round(t["sum(rev)"].to_numpy(), 2)),
+        "revenue": pa.array(
+            [((x + 50) // 100) / 100.0 for x in exact], f64),
     })
 
 
 NATION_PAIR_VOLUME_SQL = """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue
+           ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1986,6 +2044,10 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
     the winner filter one vectorized map, so nothing but the ≤
     #winners result lands on the driver; winner names arrive via a
     broadcast key fetch (suppliers ship nothing through the shuffle).
+    Revenue accumulates as EXACT int64 10^-4-dollar units (inputs on
+    the 2dp grid; bound: $9.2e14 per supplier before overflow) and
+    rounds to cents in integer arithmetic, so the max-equality is
+    bit-exact on both engines — no float-order sensitivity.
     """
     lo, hi = _ts_us(date_from), _ts_us(date_to)
     i64, f64, s = pa.int64(), pa.float64(), pa.string()
@@ -1997,13 +2059,24 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
         if not keep.any():
             return pa.table({"l_suppkey": pa.array([], i64),
                              "rev": pa.array([], f64)})
-        price = t.column("l_extendedprice").to_numpy()[keep]
-        disc = t.column("l_discount").to_numpy()[keep]
+        d_c = np.rint(t.column("l_discount").to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        rev_u = _cents(t.column("l_extendedprice").to_numpy()[keep]) \
+            * (100 - d_c)
         df = (pd.DataFrame({
                 "l_suppkey": t.column("l_suppkey").to_numpy()[keep],
-                "rev": price * (1.0 - disc)})
+                "rev": rev_u})
               .groupby("l_suppkey", sort=False).sum().reset_index())
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def to_grid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], i64),
+                             "rev": pa.array([], f64)})
+        u = t.column("sum(rev)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey").cast(i64),
+            "rev": pa.array(((u + 50) // 100) / 100.0, f64)})
 
     per_supp = (rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2011,14 +2084,8 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
                  "l_discount"])
         .map_batches(li_partial, batch_format="pyarrow")
         .groupby("l_suppkey").sum("rev")
-        .map_batches(lambda t: pa.table({
-            "l_suppkey": t.column("l_suppkey").cast(i64),
-            "rev": pa.array(np.round(
-                t.column("sum(rev)").to_numpy(), 2))})
-            if t.num_rows else pa.table({
-                "l_suppkey": pa.array([], i64),
-                "rev": pa.array([], f64)}),
-            batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(to_grid, batch_format="pyarrow",
+                     zero_copy_batch=True)
         ).materialize()
 
     best = per_supp.max("rev")
@@ -2030,7 +2097,15 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
         lambda t: t.filter(pc.equal(t.column("rev"),
                                     pa.scalar(float(best)))),
         batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
-    win = pa.concat_tables([ray.get(r) for r in winners])
+    # Ray passes EMPTY blocks through map_batches without invoking
+    # the UDF, so schema-less empties survive any typing map — drop
+    # them before the concat (they carry no rows by definition)
+    tabs = [t for t in (ray.get(r) for r in winners) if t.num_rows]
+    if not tabs:
+        return pa.table({"s_suppkey": pa.array([], i64),
+                         "s_name": pa.array([], s),
+                         "total_revenue": pa.array([], f64)})
+    win = pa.concat_tables(tabs)
 
     supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_name"]
@@ -2048,8 +2123,10 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
 TOP_SUPPLIER_SQL = """
     WITH rev AS (
         SELECT l_suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_revenue
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100)
+                                   AS BIGINT)))
+                 + 50) // 100) / 100.0 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '{date_from}'
           AND l_shipdate <  TIMESTAMP '{date_to}'
@@ -2774,30 +2851,34 @@ REVENUE_ROLLUP_SQL = """
 """
 
 
+def _ntile_buckets(r: np.ndarray, n: int, k: int) -> np.ndarray:
+    """NTILE(k) bucket for 1-based ranks ``r`` out of ``n`` rows:
+    the first n % k buckets get ceil(n/k) rows, the rest floor(n/k).
+    Pure closed form (property-tested against the definition)."""
+    q, m = n // k, n % k
+    if q == 0:
+        return r.astype(np.int64)
+    boundary = m * (q + 1)
+    return np.where(r <= boundary,
+                    (r - 1) // (q + 1) + 1,
+                    m + (r - boundary - 1) // q + 1).astype(np.int64)
+
+
 @ray.remote
 def _block_ntile(block: pa.Table, offset: int, n: int,
                  k: int) -> pa.Table:
     """Assign NTILE(k) buckets to one globally-sorted block given its
     global row offset — pure arithmetic on (offset + i), so blocks
-    tile independently. NTILE semantics: the first n % k buckets get
-    ceil(n/k) rows, the rest floor(n/k)."""
+    tile independently."""
     i64 = pa.int64()
     if block.num_rows == 0:
         return pa.table({"c_custkey": pa.array([], i64),
                          "revenue_cents": pa.array([], i64),
                          "decile": pa.array([], i64)})
     r = offset + np.arange(block.num_rows, dtype=np.int64) + 1
-    q, m = n // k, n % k
-    if q == 0:
-        b = r
-    else:
-        boundary = m * (q + 1)
-        b = np.where(r <= boundary,
-                     (r - 1) // (q + 1) + 1,
-                     m + (r - boundary - 1) // q + 1)
     return pa.table({"c_custkey": block.column("c_custkey"),
                      "revenue_cents": block.column("revenue_cents"),
-                     "decile": pa.array(b.astype(np.int64), i64)})
+                     "decile": pa.array(_ntile_buckets(r, n, k), i64)})
 
 
 def customer_revenue_deciles(sf_dir: str, k: int = 10):

@@ -139,22 +139,18 @@ def test_tagged_set_intersections_matches_intersect1d(rows):
 @given(st.integers(1, 500), st.integers(1, 20))
 @settings(max_examples=200, deadline=None)
 def test_ntile_block_formula_matches_definition(n, k):
-    """The _block_ntile closed-form bucket assignment == NTILE's
-    definition (first n % k buckets get ceil(n/k) rows, the rest
-    floor) for every rank, regardless of how rows split into
-    blocks."""
+    """The PRODUCTION closed-form bucket assignment
+    (warehouse._ntile_buckets) == NTILE's definition (first n % k
+    buckets get ceil(n/k) rows, the rest floor) for every rank,
+    regardless of how rows split into blocks."""
     import numpy as np
 
+    from pagerank_ray.pipelines.warehouse import _ntile_buckets
+
     r = np.arange(1, n + 1, dtype=np.int64)
-    q, m = n // k, n % k
-    if q == 0:
-        got = r.copy()
-    else:
-        boundary = m * (q + 1)
-        got = np.where(r <= boundary,
-                       (r - 1) // (q + 1) + 1,
-                       m + (r - boundary - 1) // q + 1)
+    got = _ntile_buckets(r, n, k)
     # direct definition: concatenate the bucket sizes
+    q, m = n // k, n % k
     sizes = [q + 1] * m + [q] * (k - m)
     want = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
     assert (got == want).all()

@@ -20,7 +20,14 @@ def to_pandas(x):
     import pyarrow as pa
     import ray.data
     if isinstance(x, ray.data.Dataset):
-        return x.to_pandas()
+        df = x.to_pandas()
+        if df.empty and len(df.columns) == 0:
+            # Ray drops columns when every block is empty; rebuild
+            # the typed empty frame from the Dataset schema
+            sch = x.schema()
+            df = pd.DataFrame({n: pd.Series(dtype="object")
+                               for n in sch.names})
+        return df
     if isinstance(x, pa.Table):
         return x.to_pandas()
     return x
