@@ -541,6 +541,44 @@ def bench_skew_count() -> dict:
             "salted_sec": round(salted_sec, 3), "rows": n_salted}
 
 
+def bench_skew_join() -> dict:
+    """Hot-key JOIN: the 20M-row skewed edge table (30% of rows on
+    one hub key) joins a 100k-row dimension on the skewed key —
+    NAIVE partitioned hash join (the hub lands on ONE reducer) vs
+    salted_join (hub rows spread over 16 sub-keys, dimension heavy
+    rows replicated 16x). Same row-set (pinned by test); the record
+    shows the hot-key reducer no longer dominates the join either."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.join import hash_join, salted_join
+
+    d = _ensure_skewed_edges()
+    # the skewed edge table stores dst as STRING node names
+    dim = rd.from_arrow(pa.table({
+        "k": pa.array([f"n{i}" for i in range(100_000)], pa.string()),
+        "name": pa.array([f"d{i}" for i in range(100_000)],
+                         pa.string())})).materialize()
+    big = rd.read_parquet(d).materialize()
+
+    t0 = time.time()
+    naive = hash_join(big, dim, on=("dst",), right_on=("k",),
+                      num_partitions=32)
+    n_naive = naive.count()
+    naive_sec = time.time() - t0
+
+    heavy = pa.array(["n0"], pa.string())  # the hub
+    t1 = time.time()
+    salted = salted_join(big, dim, "dst", "k", heavy, salt=16,
+                         num_partitions=32)
+    n_salted = salted.count()
+    salted_sec = time.time() - t1
+    assert n_naive == n_salted
+    return {"sec": salted_sec, "naive_sec": round(naive_sec, 3),
+            "salted_sec": round(salted_sec, 3), "rows": n_salted}
+
+
 def bench_membw() -> dict:
     """Aggregate stream-triad memory bandwidth: one 1-CPU Ray task per
     core, each a = 2*b + c over 64 MB float64 arrays (24 B moved per
@@ -587,6 +625,7 @@ COMPONENTS = {
     "text_quality": bench_text_quality,
     "wordcount": bench_wordcount,
     "skew_count": bench_skew_count,
+    "skew_join": bench_skew_join,
     "knn": bench_knn,
     "knn_approx": bench_knn_approx,
 }

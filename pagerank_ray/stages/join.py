@@ -36,6 +36,7 @@ hazards observed in this engine:
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -129,3 +130,78 @@ def hash_join(left, right, on, right_on=None, join_type: str = "inner",
         right_suffix=right_suffix,
         aggregator_ray_remote_args=dict(_AGG_ARGS),
     )
+
+
+def salted_join(big, small, on: str, right_on: str,
+                heavy_keys, salt: int = 16,
+                num_partitions: int | None = None,
+                big_schema=None, small_schema=None):
+    """Inner equi-join for a BIG side with HOT keys: rows of ``big``
+    whose key sits in ``heavy_keys`` spread across ``salt`` sub-keys
+    (a per-row cycling salt — the salt value carries no meaning, so
+    no determinism is required for the output row-set), the SMALL
+    side replicates its heavy rows salt-fold, and the join runs on
+    (key, salt). The output rows are exactly ``hash_join``'s
+    (equality pinned by test); what changes is the exchange: a key
+    holding p% of the big side lands on ONE reducer under a plain
+    hash join, and on ``salt`` reducers here — the join twin of
+    ``stages/aggregate.salted_grouped_count`` (A1's production
+    path), completing the north-rule's explicit skew handling for
+    the case where pre-aggregation cannot shrink the hot key first.
+
+    ``heavy_keys`` is a pyarrow array of the hot keys (tiny by
+    definition — the heavy_targets discipline: find them with the
+    salted count, broadcast the short list)."""
+    i64 = pa.int64()
+    href = ray.put(heavy_keys)
+
+    def salt_big(t: pa.Table, *, href) -> pa.Table:
+        hk = ray.get(href) if isinstance(href, ray.ObjectRef) else href
+        if t.num_rows == 0:
+            return t.append_column("__salt", pa.array([], i64))
+        import numpy as np
+        hot = pc.is_valid(pc.index_in(
+            t.column(on), value_set=hk)).to_numpy(
+                zero_copy_only=False)
+        sv = np.zeros(t.num_rows, dtype=np.int64)
+        sv[hot] = np.arange(int(hot.sum()), dtype=np.int64) % salt
+        return t.append_column("__salt", pa.array(sv, i64))
+
+    def salt_small(t: pa.Table, *, href) -> pa.Table:
+        hk = ray.get(href) if isinstance(href, ray.ObjectRef) else href
+        if t.num_rows == 0:
+            return t.append_column("__salt", pa.array([], i64))
+        import numpy as np
+        hot = pc.is_valid(pc.index_in(
+            t.column(right_on), value_set=hk)).to_numpy(
+                zero_copy_only=False)
+        cold = t.filter(pa.array(~hot)).append_column(
+            "__salt", pa.array(np.zeros(int((~hot).sum()), np.int64),
+                               i64))
+        hot_t = t.filter(pa.array(hot))
+        if hot_t.num_rows == 0:
+            return cold
+        reps = []
+        for sv in range(salt):
+            reps.append(hot_t.append_column(
+                "__salt", pa.array(
+                    np.full(hot_t.num_rows, sv, np.int64), i64)))
+        return pa.concat_tables([cold] + reps)
+
+    big_s = big.map_batches(salt_big, fn_kwargs={"href": href},
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
+    small_s = small.map_batches(salt_small, fn_kwargs={"href": href},
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bs = (list(big_schema) + [("__salt", i64)]) \
+        if big_schema is not None else None
+    ss = (list(small_schema) + [("__salt", i64)]) \
+        if small_schema is not None else None
+    out = hash_join(big_s, small_s, on=(on, "__salt"),
+                    right_on=(right_on, "__salt"),
+                    num_partitions=num_partitions,
+                    left_schema=bs, right_schema=ss)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__salt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
