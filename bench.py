@@ -546,8 +546,15 @@ def bench_skew_join() -> dict:
     one hub key) joins a 100k-row dimension on the skewed key —
     NAIVE partitioned hash join (the hub lands on ONE reducer) vs
     salted_join (hub rows spread over 16 sub-keys, dimension heavy
-    rows replicated 16x). Same row-set (pinned by test); the record
-    shows the hot-key reducer no longer dominates the join either."""
+    rows replicated 16x). Same row-set (pinned by test). HONEST
+    record: at this size the two run at parity (repeats straddle
+    each other) — Ray's streaming probe handles a 6M-row hub
+    partition without becoming the bottleneck, and salting adds
+    map-side work. The primitive's value is the MEMORY bound (per-
+    reducer rows capped at hub/salt, where a 100TB hub partition
+    would OOM one worker), which a single-node 20M-row run cannot
+    exhibit; the suite records both times to keep the comparison
+    tracked."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
