@@ -921,6 +921,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                       inverted_index_stats)
         return inverted_index_stats(_docs(sf_dir, ["doc_id", "text"]))
 
+    def q_session_paths(sf_dir):
+        """Top-k session event-type paths
+        (pipelines/relational.py:session_paths): sessionize AND path
+        assembly in ONE bucketed vectorized pass; the shuffle carries
+        path vocabulary, never sessions. Exact counts, total-ordered
+        LIMIT."""
+        _quiet()
+        from pagerank_ray.pipelines.relational import session_paths
+        return session_paths(sf_dir)
+
     def q_events_profile(sf_dir):
         """Data-quality table profile
         (pipelines/relational.py:table_profile): per-column (n_rows,
@@ -1600,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": q_event_type_pivot,
         "hll_distinct_per_type": q_hll_distinct_per_type,
         "events_profile": q_events_profile,
+        "session_paths": q_session_paths,
     }
 
 
@@ -1935,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         LATEST_EVENT_SQL, RECONCILIATION_SQL,
         event_type_pivot_sql as _pivot_sql,
         events_profile_sql as _profile_sql,
+        session_paths_sql as _paths_sql,
         MODAL_TYPE_SQL, OUTLIER_EVENTS_SQL, PEAK_CONCURRENCY_SQL,
         PROPS_KEY_STATS_SQL,
         QUANTILES_SQL, RANGE_JOIN_SQL, SESSIONIZE_SQL,
@@ -2093,6 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         "outlier_events": OUTLIER_EVENTS_SQL.format(q=0.9),
         # SCD snapshot: row_number desc = the tree argmax's order
         "latest_event_per_user": LATEST_EVENT_SQL,
+        # session paths: the sessionize CTE + ordered string_agg
+        "session_paths": _paths_sql(gap_us=30 * 60_000_000),
         # FULL OUTER JOIN replays the tag-union zero semantics
         "user_activity_reconciliation": RECONCILIATION_SQL,
         # per-group HLL: same splitmix64/register replay, GROUP BY g

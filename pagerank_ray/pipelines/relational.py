@@ -1548,3 +1548,97 @@ def events_profile_sql(columns) -> str:
                COUNT(DISTINCT {c}) AS n_distinct FROM events"""
         for c in columns]
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30,
+                  max_len: int = 5, k: int = 20,
+                  num_buckets: int | None = None) -> pa.Table:
+    """Top-``k`` session event-type PATHS (the first ``max_len``
+    types of each session, '>'-joined) with their session counts —
+    the sequence-mining / funnel-path primitive. Total order
+    (cnt DESC, path ASC) makes the LIMIT exact. Exact int64 counts.
+
+    Scale shape: ONE bucketed pass does sessionize AND path assembly
+    (the sessionize_events bucket pattern: hash-bucket on user, one
+    vectorized sort + gap-flag + start-carry per bucket; the
+    '>'-join is the bounded per-bucket assembly the map_groups
+    exception exists for), emitting per-bucket (path, cnt) partials
+    — the shuffle carries path VOCABULARY, never sessions; a tiny
+    groupby + sort/limit finishes."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    i64, s = pa.int64(), pa.string()
+    if num_buckets is None:
+        num_buckets = _derive_buckets(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id"]).count())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(u % num_buckets),
+            "u": pa.array(u),
+            "t": t.column("ts").cast(i64),
+            "id": t.column("event_id"),
+            "et": t.column("event_type"),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(bucketize, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "path": pd.Series([], dtype="object"),
+                "cnt": pd.Series([], dtype="int64")})
+        g = g.sort_values(["u", "t", "id"], kind="stable")
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([np.int64(0)], t[1:] - t[:-1]))
+        is_start = new_user | (gap > gap_us)
+        idx = np.arange(len(u))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, -1))
+        pos = idx - start_idx
+        keep = pos < max_len
+        df = pd.DataFrame({"sess": start_idx[keep],
+                           "et": g["et"].to_numpy()[keep]})
+        paths = df.groupby("sess", sort=False)["et"].agg(">".join)
+        vc = paths.value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy().astype(np.int64)})
+
+    agg = (events.groupby("bucket").map_groups(
+        paths_bucket, batch_format="pandas")
+        .groupby("path").sum("cnt"))
+    t = agg.to_pandas()
+    if t.empty:
+        return pa.table({"path": pa.array([], s),
+                         "cnt": pa.array([], i64)})
+    t["cnt"] = t["sum(cnt)"].astype("int64")
+    t = t.sort_values(["cnt", "path"],
+                      ascending=[False, True]).head(k)
+    return pa.table({"path": pa.array(t["path"], s),
+                     "cnt": pa.array(t["cnt"].to_numpy(), i64)})
+
+
+def session_paths_sql(gap_us: int, max_len: int = 5,
+                      k: int = 20) -> str:
+    sess = SESSIONIZE_SQL.format(gap_us=gap_us)
+    return f"""
+    WITH sessmap AS ({sess}),
+         r AS (SELECT e.event_type, sm.session_id,
+                      row_number() OVER (
+                          PARTITION BY sm.session_id
+                          ORDER BY e.ts, e.event_id) AS rn
+               FROM events e
+               JOIN sessmap sm ON sm.event_id = e.event_id),
+         p AS (SELECT session_id,
+                      string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= {max_len} GROUP BY 1)
+    SELECT path, COUNT(*) AS cnt FROM p
+    GROUP BY 1 ORDER BY cnt DESC, path
+    LIMIT {k}
+"""

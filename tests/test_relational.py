@@ -646,3 +646,24 @@ def test_table_profile_matches_duckdb(tmp_path):
     assert p.values.tolist() == [
         [e2["column"][0], int(e2.n_rows[0]), int(e2.n_null[0]),
          int(e2.n_distinct[0])]]
+
+
+def test_session_paths_matches_duckdb():
+    import duckdb
+
+    from pagerank_ray.pipelines.relational import (session_paths,
+                                                   session_paths_sql)
+    got = session_paths(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(session_paths_sql(30 * 60_000_000)).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["path"].tolist() == exp["path"].tolist()
+    assert (got["cnt"].to_numpy()
+            == exp["cnt"].to_numpy().astype("int64")).all()
+    # paths are '>'-joined type sequences of bounded length
+    assert all(1 <= len(p.split(">")) <= 5 for p in got["path"])
+    # bucket-count invariance (the per-bucket assembly is exact)
+    b4 = session_paths(SF, num_buckets=4).to_pandas()
+    assert b4.equals(got)
