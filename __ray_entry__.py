@@ -429,6 +429,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "community": pa.array(labs.astype(object), pa.string()),
         })
 
+    def q_modularity_events(sf_dir):
+        """Per-community modularity sufficient statistics over the
+        LPA communities (graph/metrics.py:modularity_stats):
+        (internal_ends, degree_sum) exact int64 per community — Q is
+        the caller's one float; one edge scan with broadcast label
+        codes (partitioned-join tail past the cap, path-equality
+        tested)."""
+        _quiet()
+        from pagerank_ray.graph.labelprop import label_propagation
+        from pagerank_ray.graph.metrics import modularity_stats
+        gdir = _events_graph(sf_dir, undirected=True)
+        t = label_propagation(gdir, rounds=10)
+        names = _node_names(gdir)
+        labs = names[t.column("label").to_numpy()]
+        labels = pa.table({
+            "node": t.column("node"),
+            "community": pa.array(labs.astype(object), pa.string())})
+        return modularity_stats(edges_from_events(sf_dir), labels)
+
     def q_triangles_events(sf_dir):
         _quiet()
         from pagerank_ray.graph.triangles import triangle_counts
@@ -1611,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_per_type": q_hll_distinct_per_type,
         "events_profile": q_events_profile,
         "session_paths": q_session_paths,
+        "modularity_events": q_modularity_events,
     }
 
 
@@ -2299,6 +2319,31 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "label_propagation_events": _lpa_sql(10),
+        # modularity stats over the SAME unrolled-LPA communities:
+        # per community, symmetrized endpoint degrees + same-label
+        # endpoint count (x2 per internal undirected edge)
+        "modularity_events": f"""
+            WITH labs AS ({_lpa_sql(10)}),
+                 und AS (SELECT src AS u, dst AS v FROM ({_EDGES})
+                         UNION ALL
+                         SELECT dst AS u, src AS v FROM ({_EDGES})),
+                 deg AS (SELECT l.community,
+                                COUNT(*) AS degree_sum
+                         FROM und JOIN labs l ON l.node = und.u
+                         GROUP BY 1),
+                 inn AS (SELECT lu.community,
+                                COUNT(*) AS internal_ends
+                         FROM und
+                         JOIN labs lu ON lu.node = und.u
+                         JOIN labs lv ON lv.node = und.v
+                         WHERE lu.community = lv.community
+                         GROUP BY 1)
+            SELECT d.community,
+                   COALESCE(i.internal_ends, 0) AS internal_ends,
+                   d.degree_sum
+            FROM deg d LEFT JOIN inn i USING (community)
+            ORDER BY 1
+        """,
 
         "kcore_events": _kcore_sql(2, 20),
 

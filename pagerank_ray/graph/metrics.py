@@ -331,3 +331,121 @@ def degree_distribution(edges_ds, direction: str = "out") -> pa.Table:
     order = np.argsort(degrees, kind="stable")
     return pa.table({"degree": pa.array(degrees[order], _I64),
                      "node_count": pa.array(counts[order], _I64)})
+
+
+def modularity_stats(edges_ds, labels: pa.Table,
+                     broadcast_max_rows: int = DEG_BROADCAST_MAX_ROWS
+                     ) -> pa.Table:
+    """Per-community modularity SUFFICIENT STATISTICS over the
+    symmetrized DIRECTED multigraph (the LPA graph): for each
+    community c, ``internal_ends`` (# symmetrized edge endpoints
+    whose edge stays inside c — each internal undirected edge
+    contributes 2) and ``degree_sum`` (Σ degrees of c's nodes).
+    Newman's Q = Σ_c (internal_ends/2m − (degree_sum/2m)²) with
+    2m = Σ degree_sum is the caller's one float — the exact int64
+    pair keeps the cross-engine value hash stable (the
+    assortativity_stats discipline). ``labels`` is a (node,
+    community) table covering every edge endpoint (ValueError
+    otherwise). Returns (community, internal_ends, degree_sum)
+    sorted by community.
+
+    Scale shape: under ``broadcast_max_rows`` the (sorted nodes,
+    community codes) pair ships once via ray.put and ONE edge scan
+    computes per-batch bincount partials (one row per community per
+    batch); beyond the cap, two partitioned hash joins attach the
+    endpoint communities (path-equality tested) and the same
+    partials run on the join output."""
+    import ray
+
+    from ..stages.join import default_join_partitions, hash_join
+
+    i64, s = pa.int64(), pa.string()
+    node = labels.column("node").to_numpy(zero_copy_only=False)
+    comm = labels.column("community").to_numpy(zero_copy_only=False)
+    order = np.argsort(node)
+    node, comm = node[order], comm[order]
+    comm_names, codes = np.unique(comm, return_inverse=True)
+    codes = codes.astype(np.int64)
+
+    def partials_from(cu: np.ndarray, cv: np.ndarray) -> pa.Table:
+        # each DIRECTED edge: one endpoint-degree each way; +2
+        # internal ends when the communities match
+        k = len(comm_names)
+        deg = np.bincount(cu, minlength=k) \
+            + np.bincount(cv, minlength=k)
+        same = cu == cv
+        internal = 2 * np.bincount(cu[same], minlength=k)
+        nz = np.flatnonzero(deg)
+        return pa.table({"code": pa.array(nz, i64),
+                         "deg": pa.array(deg[nz], i64),
+                         "internal": pa.array(internal[nz], i64)})
+
+    empty = pa.table({"code": pa.array([], i64),
+                      "deg": pa.array([], i64),
+                      "internal": pa.array([], i64)})
+
+    if len(node) <= broadcast_max_rows:
+        lref = ray.put((node, codes))
+
+        def scan(t: pa.Table, *, lref) -> pa.Table:
+            nd_, cd_ = ray.get(lref) if isinstance(
+                lref, ray.ObjectRef) else lref
+            if t.num_rows == 0:
+                return empty
+            u = t.column("src").to_numpy(zero_copy_only=False)
+            v = t.column("dst").to_numpy(zero_copy_only=False)
+            pu = np.searchsorted(nd_, u)
+            pv = np.searchsorted(nd_, v)
+            if (pu >= len(nd_)).any() or (nd_[pu] != u).any() or \
+                    (pv >= len(nd_)).any() or (nd_[pv] != v).any():
+                raise ValueError(
+                    "labels do not cover every edge endpoint")
+            return partials_from(cd_[pu], cd_[pv])
+
+        parts = edges_ds.map_batches(scan, fn_kwargs={"lref": lref},
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        lab_ds = rd.from_arrow(pa.table({
+            "node": pa.array(node.tolist(), s),
+            "code": pa.array(codes, i64)}))
+        nparts = default_join_partitions()
+        j1 = hash_join(edges_ds, lab_ds, on=("src",),
+                       right_on=("node",),
+                       left_schema=[("src", s), ("dst", s)],
+                       right_schema=[("node", s), ("code", i64)],
+                       num_partitions=nparts, right_suffix="_u")
+        j2 = hash_join(j1, lab_ds, on=("dst",), right_on=("node",),
+                       left_schema=[("src", s), ("dst", s),
+                                    ("code", i64)],
+                       right_schema=[("node", s), ("code", i64)],
+                       num_partitions=nparts, right_suffix="_v")
+
+        def scan_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            cu = t.column("code").to_numpy(zero_copy_only=False)
+            cv = t.column("code_v").to_numpy(zero_copy_only=False)
+            return partials_from(cu, cv)
+
+        parts = j2.map_batches(scan_joined, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    agg = parts.groupby("code").aggregate(
+        rd.aggregate.Sum("deg", alias_name="deg"),
+        rd.aggregate.Sum("internal", alias_name="internal")
+    ).to_pandas()
+    if agg.empty:
+        return pa.table({"community": pa.array([], s),
+                         "internal_ends": pa.array([], i64),
+                         "degree_sum": pa.array([], i64)})
+    agg = agg.sort_values("code")
+    names = comm_names[agg["code"].to_numpy().astype(np.int64)]
+    out_order = np.argsort(names)
+    return pa.table({
+        "community": pa.array(names[out_order].tolist(), s),
+        "internal_ends": pa.array(
+            agg["internal"].to_numpy()[out_order].astype(np.int64),
+            i64),
+        "degree_sum": pa.array(
+            agg["deg"].to_numpy()[out_order].astype(np.int64), i64)})

@@ -223,3 +223,76 @@ def test_degree_distribution_hand_checked():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         degree_distribution(E, direction="sideways")
+
+
+def test_modularity_stats_two_communities():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.graph.metrics import modularity_stats
+
+    # two triangles bridged by one edge: communities A = {a,b,c},
+    # B = {x,y,z}; directed edge list
+    E = [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("c", "x")]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.string()),
+        "dst": pa.array([e[1] for e in E], pa.string())}))
+    labels = pa.table({
+        "node": pa.array(list("abcxyz"), pa.string()),
+        "community": pa.array(["A"] * 3 + ["B"] * 3, pa.string())})
+    got = modularity_stats(edges, labels).to_pandas()
+    # A: 3 internal directed edges -> 6 ends; degrees: each triangle
+    # edge adds 2 ends, bridge adds 1 to c's side -> degree_sum 7
+    assert got.values.tolist() == [["A", 6, 7], ["B", 6, 7]]
+    # Q from the stats matches the textbook value for this graph
+    two_m = got["degree_sum"].sum()
+    q = sum(r.internal_ends / two_m - (r.degree_sum / two_m) ** 2
+            for r in got.itertuples())
+    assert abs(q - (12 / 14 - 2 * (7 / 14) ** 2)) < 1e-12
+
+
+def test_modularity_stats_paths_agree_and_validate():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pytest
+
+    from pagerank_ray.graph.metrics import modularity_stats
+
+    rng = np.random.default_rng(11)
+    n, m = 30, 200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{i}" for i in src], pa.string()),
+        "dst": pa.array([f"n{i}" for i in dst], pa.string())}))
+    labels = pa.table({
+        "node": pa.array([f"n{i}" for i in range(n)], pa.string()),
+        "community": pa.array([f"c{i % 4}" for i in range(n)],
+                              pa.string())})
+    a = modularity_stats(edges, labels).to_pandas()
+    b = modularity_stats(edges, labels,
+                         broadcast_max_rows=0).to_pandas()
+    assert a.equals(b)  # broadcast == partitioned-join path
+    # totals: every endpoint counted once per direction
+    assert a["degree_sum"].sum() == 2 * m
+    # python brute
+    lab = {f"n{i}": f"c{i % 4}" for i in range(n)}
+    import collections
+    deg = collections.Counter()
+    inn = collections.Counter()
+    for u, v in zip(src, dst):
+        cu, cv = lab[f"n{u}"], lab[f"n{v}"]
+        deg[cu] += 1
+        deg[cv] += 1
+        if cu == cv:
+            inn[cu] += 2
+    for r in a.itertuples():
+        assert deg[r.community] == r.degree_sum
+        assert inn[r.community] == r.internal_ends
+    # missing endpoint -> loud failure
+    with pytest.raises((ValueError, Exception)):
+        modularity_stats(edges, labels.slice(0, 5)).to_pandas()
