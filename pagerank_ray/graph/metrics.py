@@ -430,11 +430,22 @@ def modularity_stats(edges_ds, labels: pa.Table,
 
         parts = j2.map_batches(scan_joined, batch_format="pyarrow",
                                zero_copy_batch=True)
+        # an inner join silently DROPS edges with unlabeled
+        # endpoints — enforce the coverage contract via the exact
+        # global invariant sum(degree_sum) == 2 * |edges| below
+        n_edges = edges_ds.count()
 
     agg = parts.groupby("code").aggregate(
         rd.aggregate.Sum("deg", alias_name="deg"),
         rd.aggregate.Sum("internal", alias_name="internal")
     ).to_pandas()
+    if len(node) > broadcast_max_rows:
+        got_deg = int(agg["deg"].sum()) if not agg.empty else 0
+        if got_deg != 2 * n_edges:
+            raise ValueError(
+                "labels do not cover every edge endpoint "
+                f"(joined endpoint count {got_deg} != "
+                f"2 x {n_edges} edges)")
     if agg.empty:
         return pa.table({"community": pa.array([], s),
                          "internal_ends": pa.array([], i64),

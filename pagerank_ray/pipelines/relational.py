@@ -1603,8 +1603,11 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
         start_idx = np.maximum.accumulate(np.where(is_start, idx, -1))
         pos = idx - start_idx
         keep = pos < max_len
-        df = pd.DataFrame({"sess": start_idx[keep],
-                           "et": g["et"].to_numpy()[keep]})
+        # NULL event_type -> '' (total function on both engines: the
+        # oracle COALESCEs identically; raw string_agg would skip
+        # NULLs and silently shorten paths)
+        et = pd.Series(g["et"].to_numpy()[keep]).fillna("").to_numpy()
+        df = pd.DataFrame({"sess": start_idx[keep], "et": et})
         paths = df.groupby("sess", sort=False)["et"].agg(">".join)
         vc = paths.value_counts()
         return pd.DataFrame({"path": vc.index.to_numpy(),
@@ -1636,7 +1639,8 @@ def session_paths_sql(gap_us: int, max_len: int = 5,
                FROM events e
                JOIN sessmap sm ON sm.event_id = e.event_id),
          p AS (SELECT session_id,
-                      string_agg(event_type, '>' ORDER BY rn) AS path
+                      string_agg(COALESCE(event_type, ''), '>'
+                                 ORDER BY rn) AS path
                FROM r WHERE rn <= {max_len} GROUP BY 1)
     SELECT path, COUNT(*) AS cnt FROM p
     GROUP BY 1 ORDER BY cnt DESC, path

@@ -164,7 +164,14 @@ def salted_join(big, small, on: str, right_on: str,
             t.column(on), value_set=hk)).to_numpy(
                 zero_copy_only=False)
         sv = np.zeros(t.num_rows, dtype=np.int64)
-        sv[hot] = np.arange(int(hot.sum()), dtype=np.int64) % salt
+        # start each block's cycle at a random offset: a block with
+        # fewer hot rows than `salt` would otherwise only ever use
+        # salts 0..h-1, re-concentrating the hub on low sub-keys
+        # across blocks (the salt value carries no meaning, so
+        # nondeterminism here cannot change the output row-set)
+        off = np.random.randint(salt)
+        sv[hot] = (off + np.arange(int(hot.sum()),
+                                   dtype=np.int64)) % salt
         return t.append_column("__salt", pa.array(sv, i64))
 
     def salt_small(t: pa.Table, *, href) -> pa.Table:

@@ -293,6 +293,10 @@ def test_modularity_stats_paths_agree_and_validate():
     for r in a.itertuples():
         assert deg[r.community] == r.degree_sum
         assert inn[r.community] == r.internal_ends
-    # missing endpoint -> loud failure
-    with pytest.raises((ValueError, Exception)):
+    # missing endpoint -> loud failure on BOTH paths (the join path
+    # would otherwise silently drop the unlabeled edges)
+    with pytest.raises(Exception, match="cover every edge endpoint"):
         modularity_stats(edges, labels.slice(0, 5)).to_pandas()
+    with pytest.raises(ValueError, match="cover every edge endpoint"):
+        modularity_stats(edges, labels.slice(0, 5),
+                         broadcast_max_rows=0)

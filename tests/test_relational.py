@@ -667,3 +667,30 @@ def test_session_paths_matches_duckdb():
     # bucket-count invariance (the per-bucket assembly is exact)
     b4 = session_paths(SF, num_buckets=4).to_pandas()
     assert b4.equals(got)
+
+
+def test_session_paths_null_event_type(tmp_path):
+    # a NULL type consumes its path position as '' on BOTH engines
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_ray.pipelines.relational import (session_paths,
+                                                   session_paths_sql)
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01").value // 1000
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([base, base + 1_000_000, base + 2_000_000],
+                       pa.timestamp("us")),
+        "user_id": pa.array([5, 5, 5], pa.int64()),
+        "event_type": pa.array(["a", None, "b"], pa.string()),
+    }), d / "events.parquet")
+    got = session_paths(str(d), num_buckets=2).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    exp = con.execute(session_paths_sql(30 * 60_000_000)).df()
+    assert got["path"].tolist() == exp["path"].tolist() == ["a>>b"]
+    assert got["cnt"].tolist() == [1]
